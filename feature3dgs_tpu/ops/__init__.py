@@ -1,0 +1,5 @@
+from feature3dgs_tpu.ops.rasterize import (  # noqa: F401
+    RasterConfig,
+    RasterOutput,
+    rasterize,
+)

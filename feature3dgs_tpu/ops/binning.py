@@ -1,0 +1,135 @@
+"""Tile binning: Gaussian-instance expansion + (tile, depth) sort.
+
+TPU-native replacement for the reference's duplicate/sort/range pipeline
+(/root/reference/submodules/diff-gaussian-rasterization-feature/
+cuda_rasterizer/rasterizer_impl.cu:70-138, 198-342):
+
+  reference (CUDA)                      this module (XLA)
+  --------------------------------      ----------------------------------
+  cub InclusiveSum(tiles_touched)       jnp.cumsum of per-Gaussian rect areas
+  duplicateWithKeys (1 thread/gauss,    static-capacity slot expansion: slot
+    variable #writes)                     s -> owning Gaussian via searchsorted
+  cub radix sort on [tile|depth] u64    jax.lax.sort, lexicographic 2-key
+  identifyTileRanges                    searchsorted per tile id
+  per-tile variable ranges              padded [num_tiles, capacity] index
+                                          matrix (-1 padding)
+
+Everything is static-shaped: ``instance_capacity`` bounds the total number of
+(Gaussian, tile) instances and ``tile_capacity`` the per-tile list length.
+Overflow drops the *farthest* per-tile entries (lists are depth-ascending) or
+the highest-index instances globally; ``BinningResult.total`` lets callers
+detect overflow and re-jit with a larger bucket.
+
+This stage is integer bookkeeping — it is wrapped in stop_gradient by the
+renderer; gradients flow through compositing only (as in the reference,
+where the sort is outside autograd).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TileGrid(NamedTuple):
+    """Static tile-grid geometry for an image."""
+
+    width: int
+    height: int
+    tile_w: int
+    tile_h: int
+
+    @property
+    def grid_x(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def grid_y(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_x * self.grid_y
+
+    @property
+    def pixels_per_tile(self) -> int:
+        return self.tile_w * self.tile_h
+
+
+class BinningResult(NamedTuple):
+    tile_lists: jnp.ndarray   # [num_tiles, tile_capacity] int32 Gaussian ids, -1 pad
+    tile_counts: jnp.ndarray  # [num_tiles] int32 (pre-truncation true counts)
+    total: jnp.ndarray        # scalar int32: true total instances (pre-cap)
+    num_tiles_touched: jnp.ndarray  # [N] int32 per-Gaussian rect area (0 if culled)
+
+
+def bin_gaussians(
+    rect_min: jnp.ndarray,
+    rect_max: jnp.ndarray,
+    depth: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid: TileGrid,
+    *,
+    instance_capacity: int,
+    tile_capacity: int,
+) -> BinningResult:
+    """Build depth-sorted per-tile Gaussian lists.
+
+    Args:
+      rect_min/rect_max: [N,2] int32 tile rectangles (max exclusive), from
+        core.projection.tile_rect.
+      depth: [N] view-space z (all > 0.2 for valid entries, so plain float
+        ascending sort matches the reference's float-bits radix order,
+        rasterizer_impl.cu:104).
+      valid: [N] bool from preprocess.
+    """
+    n = depth.shape[0]
+    widths = (rect_max[:, 0] - rect_min[:, 0]).astype(jnp.int32)
+    heights = (rect_max[:, 1] - rect_min[:, 1]).astype(jnp.int32)
+    areas = jnp.where(valid, widths * heights, 0)
+
+    # Exclusive prefix sum -> slot offsets (cub InclusiveSum analog).
+    offsets = jnp.cumsum(areas) - areas          # [N] exclusive
+    total = offsets[-1] + areas[-1]
+
+    # Expansion: slot s belongs to Gaussian g = rightmost g with offset <= s.
+    slots = jnp.arange(instance_capacity, dtype=jnp.int32)
+    gid = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    gid = jnp.clip(gid, 0, n - 1)
+    slot_valid = slots < total
+
+    # Local tile within the Gaussian's rect, row-major like duplicateWithKeys.
+    local = slots - offsets[gid]
+    w_g = jnp.maximum(widths[gid], 1)
+    ty = rect_min[gid, 1] + local // w_g
+    tx = rect_min[gid, 0] + local % w_g
+    tile_id = (ty * grid.grid_x + tx).astype(jnp.int32)
+
+    # Invalid slots sort to the end.
+    sentinel_tile = jnp.int32(grid.num_tiles)
+    tile_key = jnp.where(slot_valid, tile_id, sentinel_tile)
+    depth_key = jnp.where(slot_valid, depth[gid], jnp.float32(jnp.inf))
+
+    tile_sorted, _, gid_sorted = jax.lax.sort(
+        (tile_key, depth_key, gid), num_keys=2, is_stable=True)
+
+    # Per-tile ranges (identifyTileRanges analog).
+    tile_ids = jnp.arange(grid.num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    # Padded per-tile index matrix; truncation keeps the nearest entries.
+    lane = jnp.arange(tile_capacity, dtype=jnp.int32)
+    pos = starts[:, None] + lane[None, :]
+    in_range = lane[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
+    pos = jnp.clip(pos, 0, max(instance_capacity - 1, 0))
+    tile_lists = jnp.where(in_range, gid_sorted[pos], jnp.int32(-1))
+
+    return BinningResult(
+        tile_lists=tile_lists,
+        tile_counts=counts,
+        total=total.astype(jnp.int32),
+        num_tiles_touched=areas,
+    )

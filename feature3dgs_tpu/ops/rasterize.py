@@ -1,0 +1,155 @@
+"""Public differentiable rasterization API.
+
+The TPU-native counterpart of the reference's autograd binding
+(/root/reference/submodules/diff-gaussian-rasterization-feature/
+diff_gaussian_rasterization/__init__.py:46-238): one call renders RGB +
+N-dim semantic features + depth with full analytic backward. Differences by
+design:
+
+  * the semantic channel count is a runtime array dimension, not a
+    compile-time constant (the reference requires editing config.h:16 and
+    recompiling, README.md:316-350);
+  * images are returned HWC (TPU/XLA-friendly layout) instead of CHW;
+  * ``ndc_offset`` replaces the reference's ``screenspace_points`` gradient
+    hook (gaussian_renderer/__init__.py:181-185): pass a zeros [N,2] array
+    and differentiate wrt it to obtain the NDC-space positional gradients
+    used by densification (scaled by 0.5*W / 0.5*H exactly like
+    backward.cu:493-494 because the pixel-space chain multiplies them in).
+
+Pipeline: preprocess (pure JAX, ordinary AD) -> binning (integer, stop-grad)
+-> composite (custom_vjp chunked-MXU kernel) -> tile->image assembly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from feature3dgs_tpu.core import projection as proj_lib
+from feature3dgs_tpu.ops import binning as binning_lib
+from feature3dgs_tpu.ops import composite as composite_lib
+from feature3dgs_tpu.ops.binning import TileGrid
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static rasterizer configuration (hashable; safe as a jit static arg).
+
+    tile_w/tile_h: pixel tile size (reference uses 16x16, config.h:18-19).
+    chunk: splats processed per compositing step; pix-x-chunk weight blocks
+      feed the MXU, so multiples of 8 with chunk*pixels_per_tile "deep enough"
+      matmuls work best.
+    instance_capacity: max total (Gaussian, tile) instances after expansion
+      (the reference's dynamic ``num_rendered``, rasterizer_impl.cu:283).
+    tile_capacity: max splats per tile list; farthest splats drop on overflow.
+    """
+
+    tile_w: int = 16
+    tile_h: int = 16
+    chunk: int = 32
+    instance_capacity: int = 1 << 20
+    tile_capacity: int = 1 << 12
+
+    def grid(self, width: int, height: int) -> TileGrid:
+        return TileGrid(width=width, height=height,
+                        tile_w=self.tile_w, tile_h=self.tile_h)
+
+
+class RasterOutput(NamedTuple):
+    color: jnp.ndarray      # [H,W,3]
+    feature: jnp.ndarray    # [H,W,F]
+    depth: jnp.ndarray      # [H,W]
+    alpha: jnp.ndarray      # [H,W] = 1 - final_T
+    radii: jnp.ndarray      # [N] float screen radii (0 = invisible)
+    visibility: jnp.ndarray # [N] bool visibility filter (radii > 0)
+    n_contrib: jnp.ndarray  # [H,W] int32 diagnostics
+    total_instances: jnp.ndarray  # scalar int32: true instance count pre-cap
+
+
+def tiles_to_image(tiles: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
+    """[num_tiles, pixels_per_tile, ...] -> [H, W, ...] crop."""
+    ch = tiles.shape[2:]
+    img = tiles.reshape((grid.grid_y, grid.grid_x, grid.tile_h, grid.tile_w) + ch)
+    img = jnp.moveaxis(img, 2, 1).reshape(
+        (grid.grid_y * grid.tile_h, grid.grid_x * grid.tile_w) + ch)
+    return img[: grid.height, : grid.width]
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    semantic_features: jnp.ndarray,
+    cam: proj_lib.CameraView,
+    *,
+    scales: jnp.ndarray | None = None,
+    rotations: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+    shs: jnp.ndarray | None = None,
+    sh_degree: int = 0,
+    colors_precomp: jnp.ndarray | None = None,
+    bg: jnp.ndarray | None = None,
+    scale_modifier=1.0,
+    ndc_offset: jnp.ndarray | None = None,
+    active_mask: jnp.ndarray | None = None,
+    config: RasterConfig = RasterConfig(),
+) -> RasterOutput:
+    """Render RGB + semantic features + depth in one differentiable pass.
+
+    Mirrors the reference GaussianRasterizer call contract
+    (diff_gaussian_rasterization/__init__.py:188-238): provide either
+    shs(+sh_degree) or colors_precomp, and either scales+rotations or
+    cov3d_precomp. ``semantic_features`` is [N, F]. ``bg`` is [3] (defaults
+    to black).
+    """
+    grid = config.grid(cam.width, cam.height)
+    if bg is None:
+        bg = jnp.zeros((3,), means3d.dtype)
+
+    pre = proj_lib.preprocess(
+        means3d, opacities, cam,
+        scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+        shs=shs, sh_degree=sh_degree, colors_precomp=colors_precomp,
+        scale_modifier=scale_modifier)
+
+    xy = pre.xy
+    if ndc_offset is not None:
+        # Densification gradient hook: offset enters through the same
+        # NDC->pixel scaling as the mean, so d(loss)/d(ndc_offset) equals the
+        # reference's viewspace_points.grad (train.py:133, backward.cu:493).
+        wh = jnp.asarray([cam.width, cam.height], xy.dtype)
+        xy = xy + ndc_offset * wh * 0.5
+
+    rect_min, rect_max = proj_lib.tile_rect(
+        xy, pre.radius, grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    if active_mask is not None:
+        # Dead capacity-padding slots (model.GaussianState.alive) are culled
+        # before binning so they cost no compositing work.
+        valid = valid & active_mask
+
+    bins = binning_lib.bin_gaussians(
+        jax.lax.stop_gradient(rect_min), jax.lax.stop_gradient(rect_max),
+        jax.lax.stop_gradient(pre.depth), jax.lax.stop_gradient(valid), grid,
+        instance_capacity=config.instance_capacity,
+        tile_capacity=config.tile_capacity)
+
+    out = composite_lib.composite(
+        bins.tile_lists, xy, pre.conic, pre.opacity, pre.rgb,
+        semantic_features, pre.depth, grid, config.chunk)
+
+    color = out.color + out.final_T[..., None] * bg
+    radii = jnp.where(valid, pre.radius, 0.0)
+
+    return RasterOutput(
+        color=tiles_to_image(color, grid),
+        feature=tiles_to_image(out.feature, grid),
+        depth=tiles_to_image(out.depth, grid),
+        alpha=1.0 - tiles_to_image(out.final_T, grid),
+        radii=radii,
+        visibility=radii > 0,
+        n_contrib=tiles_to_image(out.n_contrib, grid),
+        total_instances=bins.total,
+    )

@@ -1,0 +1,246 @@
+"""Training: jitted step + host loop.
+
+The functional counterpart of /root/reference/train.py:36-178. One jitted
+``train_step`` fuses render -> losses -> backward -> Adam -> densification
+stats into a single XLA program. Schedule-driven host events (SH degree
+bump every 1000 iters, densify every 100 in [500, 15000], opacity reset
+every 3000, checkpointing) run between steps exactly like the reference's
+with-torch.no_grad blocks (train.py:110-153) — densify/reset are themselves
+jitted functions over fixed-capacity arrays.
+
+Loss (train.py:98-105):
+  (1 - λ)·L1(rgb) + λ·(1 - SSIM(rgb)) + 1.0·L1(feature)
+with the rendered feature map bilinearly resized (align_corners=True) to the
+teacher map and optionally lifted by the speed-up decoder.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import random
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from feature3dgs_tpu.core.projection import CameraView
+from feature3dgs_tpu.data.dataset import SceneData
+from feature3dgs_tpu.model import gaussians as G
+from feature3dgs_tpu.model import density, optim
+from feature3dgs_tpu.model.decoder import apply_decoder, init_decoder
+from feature3dgs_tpu.ops import RasterConfig
+from feature3dgs_tpu.render import renderer
+from feature3dgs_tpu.train import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationConfig:
+    """Mirrors the reference OptimizationParams (arguments/__init__.py:74-95)."""
+
+    iterations: int = 30_000
+    lr: optim.LRConfig = optim.LRConfig()
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3_000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    min_opacity: float = 0.005
+    feature_loss_weight: float = 1.0
+
+
+@struct.dataclass
+class TrainState:
+    params: G.GaussianParams
+    gstate: G.GaussianState
+    adam: optim.AdamState
+    decoder: Optional[dict]
+    decoder_adam: Optional[optim.TensorAdamState]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ocfg", "rcfg", "speedup", "max_sh_degree"))
+def train_step(
+    ts: TrainState,
+    cam: CameraView,
+    gt_image: jnp.ndarray,        # [H,W,3]
+    gt_feature: jnp.ndarray,      # [h,w,F_out]
+    bg: jnp.ndarray,              # [3]
+    iteration: jnp.ndarray,       # scalar int32 (1-based, for the xyz LR)
+    *,
+    ocfg: OptimizationConfig,
+    rcfg: RasterConfig,
+    speedup: bool,
+    max_sh_degree: int,
+):
+    gstate = ts.gstate
+    zeros_offset = jnp.zeros((ts.params.capacity, 2), jnp.float32)
+
+    def loss_fn(params, ndc_offset, decoder):
+        out = renderer.render(params, gstate, cam, bg=bg, config=rcfg,
+                              ndc_offset=ndc_offset)
+        rgb, ll1 = L.rgb_loss(out.color, gt_image, ocfg.lambda_dssim)
+        fmap = L.resize_bilinear_align_corners(
+            out.feature, gt_feature.shape[0], gt_feature.shape[1])
+        if speedup:
+            fmap = apply_decoder(decoder, fmap)
+        ll1_feat = L.l1_loss(fmap, gt_feature)
+        total = rgb + ocfg.feature_loss_weight * ll1_feat
+        return total, (out, ll1, ll1_feat)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+    (loss, (out, ll1, ll1_feat)), (g_params, g_offset, g_dec) = grad_fn(
+        ts.params, zeros_offset, ts.decoder)
+
+    lrs = optim.group_lrs(ocfg.lr, iteration, gstate.spatial_lr_scale)
+    params, adam = optim.adam_update(ts.params, g_params, ts.adam, lrs)
+
+    decoder, decoder_adam = ts.decoder, ts.decoder_adam
+    if speedup:
+        decoder, decoder_adam = optim.tensor_adam_update(
+            ts.decoder, g_dec, ts.decoder_adam, lr=1e-4)
+
+    gstate = density.add_densification_stats(
+        gstate, g_offset, out.visibility, out.radii)
+
+    metrics = {
+        "loss": loss, "l1": ll1, "l1_feature": ll1_feat,
+        "num_instances": out.total_instances,
+        "num_active": gstate.num_active,
+        "psnr": L.psnr(jnp.clip(out.color, 0, 1), jnp.clip(gt_image, 0, 1)),
+    }
+    return TrainState(params=params, gstate=gstate, adam=adam,
+                      decoder=decoder, decoder_adam=decoder_adam), metrics
+
+
+@functools.partial(jax.jit, static_argnames=("ocfg", "use_screen_size_prune"))
+def densify_step(ts: TrainState, key, extent, *, ocfg: OptimizationConfig,
+                 use_screen_size_prune: bool):
+    params, gstate, adam, report = density.densify_and_prune(
+        ts.params, ts.gstate, ts.adam, key,
+        max_grad=ocfg.densify_grad_threshold,
+        min_opacity=ocfg.min_opacity,
+        extent=extent,
+        percent_dense=ocfg.percent_dense,
+        use_screen_size_prune=use_screen_size_prune)
+    return ts.replace(params=params, gstate=gstate, adam=adam), report
+
+
+@jax.jit
+def reset_opacity_step(ts: TrainState):
+    params, adam = density.reset_opacity(ts.params, ts.adam)
+    return ts.replace(params=params, adam=adam)
+
+
+class Trainer:
+    """Host-side orchestration (reference train.py training())."""
+
+    def __init__(self, scene: SceneData, *, ocfg: OptimizationConfig = None,
+                 rcfg: RasterConfig = None, max_sh_degree: int = 3,
+                 feature_dim: int | None = None, speedup: bool = False,
+                 white_background: bool = False, seed: int = 0,
+                 capacity_headroom: float = 4.0):
+        self.scene = scene
+        self.ocfg = ocfg or OptimizationConfig()
+        self.rcfg = rcfg or RasterConfig()
+        self.speedup = speedup
+        self.max_sh_degree = max_sh_degree
+        feature_dim = feature_dim if feature_dim is not None else scene.feature_dim
+        self.feature_out_dim = feature_dim
+
+        n = scene.points.shape[0]
+        capacity = _round_capacity(int(n * capacity_headroom))
+        params, gstate = G.create_from_pcd(
+            scene.points, scene.colors, max_sh_degree=max_sh_degree,
+            feature_dim=feature_dim, speedup=speedup, capacity=capacity)
+        gstate = gstate.replace(
+            spatial_lr_scale=float(scene.nerf_norm["radius"]))
+        self.extent = float(scene.nerf_norm["radius"])
+
+        decoder = decoder_adam = None
+        if speedup:
+            decoder = init_decoder(feature_dim // 4, feature_dim, seed)
+            decoder_adam = optim.init_tensor_adam(decoder)
+        self.ts = TrainState(params=params, gstate=gstate,
+                             adam=optim.init_adam(params), decoder=decoder,
+                             decoder_adam=decoder_adam)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0])
+        self.white_background = white_background
+        self.rng = random.Random(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.iteration = 0
+        self._viewpoint_stack: list = []
+
+    def pick_camera(self):
+        """Random-without-replacement epoch sampling (train.py:84-86)."""
+        if not self._viewpoint_stack:
+            self._viewpoint_stack = list(self.scene.train_cameras)
+        return self._viewpoint_stack.pop(
+            self.rng.randint(0, len(self._viewpoint_stack) - 1))
+
+    def step(self, camera=None) -> dict:
+        self.iteration += 1
+        it = self.iteration
+        if it % 1000 == 0:
+            self.ts = self.ts.replace(gstate=G.one_up_sh_degree(
+                self.ts.gstate, self.max_sh_degree))
+        cam = camera if camera is not None else self.pick_camera()
+        gt_image = jnp.asarray(cam.image)
+        gt_feature = (jnp.asarray(cam.semantic_feature)
+                      if cam.semantic_feature is not None
+                      else jnp.zeros((*cam.image.shape[:2], self.feature_out_dim)))
+        self.ts, metrics = train_step(
+            self.ts, cam.to_view(), gt_image, gt_feature, self.bg,
+            jnp.int32(it), ocfg=self.ocfg, rcfg=self.rcfg,
+            speedup=self.speedup, max_sh_degree=self.max_sh_degree)
+
+        o = self.ocfg
+        if it < o.densify_until_iter:
+            if it > o.densify_from_iter and it % o.densification_interval == 0:
+                self.key, sub = jax.random.split(self.key)
+                self.ts, report = densify_step(
+                    self.ts, sub, jnp.float32(self.extent), ocfg=o,
+                    use_screen_size_prune=it > o.opacity_reset_interval)
+                self._maybe_grow(report)
+            if it % o.opacity_reset_interval == 0 or (
+                    self.white_background and it == o.densify_from_iter):
+                self.ts = reset_opacity_step(self.ts)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def _maybe_grow(self, report):
+        wanted = int(report.wanted_slots)
+        granted = int(report.granted_slots)
+        if wanted > granted:
+            new_cap = _round_capacity(
+                int((int(report.num_active) + wanted - granted) * 1.5))
+            ts = self.ts
+            params, gstate, mu = G.grow_capacity(
+                ts.params, ts.gstate, new_cap, ts.adam.mu)
+            _, _, nu = G.grow_capacity(ts.params, ts.gstate, new_cap, ts.adam.nu)
+            self.ts = ts.replace(
+                params=params, gstate=gstate,
+                adam=optim.AdamState(mu=mu, nu=nu, step=ts.adam.step))
+
+    def train(self, iterations: int | None = None, log_every: int = 50,
+              callback=None):
+        n = iterations or self.ocfg.iterations
+        history = []
+        for _ in range(n):
+            m = self.step()
+            if self.iteration % log_every == 0 or self.iteration == n:
+                history.append({"iteration": self.iteration, **m})
+                if callback:
+                    callback(self.iteration, m)
+        return history
+
+
+def _round_capacity(n: int) -> int:
+    """Round up to the next 2^k or 1.5*2^k bucket (limits re-jits)."""
+    n = max(n, 256)
+    p = 1 << (n - 1).bit_length()
+    return (p * 3) // 4 if n <= (p * 3) // 4 else p
