@@ -104,24 +104,34 @@ def _chunk_geometry(ids, xy, conic, opacity, pix_xy):
     return id_valid, G, alpha, contrib_ok, dx, dy, g_conic, g_op
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def composite(tile_lists, xy, conic, opacity, rgb, feat, depth, grid: TileGrid,
-              chunk: int) -> CompositeOutput:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def composite(tile_lists, pix_xy, xy, conic, opacity, rgb, feat, depth,
+              chunk: int, precision: str = "highest",
+              feature_alpha_grad: bool = False) -> CompositeOutput:
     """Composite binned Gaussians into per-tile images.
 
     Args:
       tile_lists: [T_tiles, capacity] int32 depth-sorted Gaussian ids (-1 pad).
+      pix_xy: [T_tiles, P, 2] pixel coordinates of each tile's pixels
+        (tile_pixel_coords(grid), or a tile-axis shard of it — tile_lists
+        and pix_xy shard together under shard_map for spatial parallelism).
       xy: [N,2] pixel-space means.  conic: [N,3].  opacity: [N].
       rgb: [N,3].  feat: [N,F].  depth: [N].
-      grid: static tile geometry.  chunk: static chunk length K.
+      chunk: static chunk length K.
 
     Background is NOT added here (color = pure front-to-back sum); the
     renderer adds final_T * bg outside, which differentiates correctly
     because final_T's alpha-dependence is folded into this op's backward
     via the suffix initialization (see _composite_bwd).
+
+    ``precision`` controls the MXU contraction precision of the
+    accumulation matmuls ('highest' = exact f32 — required for
+    reference-gradient parity; 'default' = bf16 passes, ~3x faster on TPU).
+    NOTE: JAX 0.9 applies bf16-class default matmul precision even on CPU,
+    so 'highest' is the default here.
     """
-    out, _ = _composite_fwd_impl(tile_lists, xy, conic, opacity, rgb, feat,
-                                 depth, grid, chunk)
+    out, _ = _composite_fwd_impl(tile_lists, pix_xy, xy, conic, opacity, rgb,
+                                 feat, depth, chunk, precision)
     return out
 
 
@@ -135,14 +145,13 @@ def _reshape_chunks(tile_lists: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return tile_lists.reshape(t, n_chunks, chunk).transpose(1, 0, 2)
 
 
-def _composite_fwd_impl(tile_lists, xy, conic, opacity, rgb, feat, depth,
-                        grid: TileGrid, chunk: int):
-    n_tiles = grid.num_tiles
-    n_pix = grid.pixels_per_tile
+def _composite_fwd_impl(tile_lists, pix_xy, xy, conic, opacity, rgb, feat,
+                        depth, chunk: int, precision: str):
+    n_tiles, n_pix = pix_xy.shape[0], pix_xy.shape[1]
     f_dim = feat.shape[-1]
-    pix_xy = tile_pixel_coords(grid, xy.dtype)
     chunks = _reshape_chunks(tile_lists, chunk)
     n_chunks = chunks.shape[0]
+    es = functools.partial(jnp.einsum, precision=precision)
 
     def step(carry, xs):
         trans, done, acc_c, acc_f, acc_d, n_contrib = carry
@@ -159,9 +168,9 @@ def _composite_fwd_impl(tile_lists, xy, conic, opacity, rgb, feat, depth,
         mask = contrib_ok & (t_after >= T_EPS) & live
         w = jnp.where(mask, alpha * t_before, 0.0)      # [T,K,P]
 
-        acc_c = acc_c + jnp.einsum("tkp,tkc->tpc", w, rgb[safe])
-        acc_f = acc_f + jnp.einsum("tkp,tkf->tpf", w, feat[safe])
-        acc_d = acc_d + jnp.einsum("tkp,tk->tp", w, depth[safe])
+        acc_c = acc_c + es("tkp,tkc->tpc", w, rgb[safe])
+        acc_f = acc_f + es("tkp,tkf->tpf", w, feat[safe])
+        acc_d = acc_d + es("tkp,tk->tp", w, depth[safe])
 
         trans = trans * jnp.exp(jnp.sum(jnp.where(mask, log1m, 0.0), axis=1))
         done = done | jnp.any(contrib_ok & (t_after < T_EPS) & live, axis=1)
@@ -182,19 +191,20 @@ def _composite_fwd_impl(tile_lists, xy, conic, opacity, rgb, feat, depth,
         step, init, (chunks, jnp.arange(n_chunks, dtype=jnp.int32)))
     out = CompositeOutput(color=acc_c, feature=acc_f, depth=acc_d,
                           final_T=trans, n_contrib=n_contrib)
-    residuals = (tile_lists, xy, conic, opacity, rgb, feat, depth,
+    residuals = (tile_lists, pix_xy, xy, conic, opacity, rgb, feat, depth,
                  trans, n_contrib)
     return out, residuals
 
 
-def _composite_fwd(tile_lists, xy, conic, opacity, rgb, feat, depth,
-                   grid: TileGrid, chunk: int):
-    return _composite_fwd_impl(tile_lists, xy, conic, opacity, rgb, feat,
-                               depth, grid, chunk)
+def _composite_fwd(tile_lists, pix_xy, xy, conic, opacity, rgb, feat, depth,
+                   chunk: int, precision: str, feature_alpha_grad: bool):
+    return _composite_fwd_impl(tile_lists, pix_xy, xy, conic, opacity, rgb,
+                               feat, depth, chunk, precision)
 
 
-def _composite_bwd(grid: TileGrid, chunk: int, residuals, cts):
-    (tile_lists, xy, conic, opacity, rgb, feat, depth,
+def _composite_bwd(chunk: int, precision: str, feature_alpha_grad: bool,
+                   residuals, cts):
+    (tile_lists, pix_xy, xy, conic, opacity, rgb, feat, depth,
      final_t, n_contrib) = residuals
     d_color, d_feat_pix, d_depth_pix, d_final_t, _d_ncontrib = cts
     # final_T IS differentiable: the renderer computes color + final_T * bg,
@@ -204,13 +214,19 @@ def _composite_bwd(grid: TileGrid, chunk: int, residuals, cts):
 
     n = xy.shape[0]
     f_dim = feat.shape[-1]
-    pix_xy = tile_pixel_coords(grid, xy.dtype)
     chunks = _reshape_chunks(tile_lists, chunk)
     n_chunks = chunks.shape[0]
+    es = functools.partial(jnp.einsum, precision=precision)
 
-    # Augmented channels: [rgb(3), depth(1)] drive the alpha gradient; the
-    # feature channels deliberately do not (reference parity, backward.cu:575).
-    g_aug = jnp.concatenate([d_color, d_depth_pix[..., None]], axis=-1)  # [T,P,4]
+    # Augmented channels driving the alpha gradient: [rgb(3), depth(1)] and,
+    # only when feature_alpha_grad is on, the semantic channels. The
+    # reference DISABLES the feature->alpha coupling (backward.cu:575 is
+    # commented out), so the default omits them; enabling it gives the
+    # mathematically complete VJP (== plain JAX AD of the compositing).
+    g_aug = jnp.concatenate([d_color, d_depth_pix[..., None]], axis=-1)
+    if feature_alpha_grad:
+        g_aug = jnp.concatenate([g_aug, d_feat_pix], axis=-1)
+    n_aug = g_aug.shape[-1]
 
     def step(carry, xs):
         (t_end, suffix, d_xy, d_conic, d_op, d_rgb, d_feat, d_depth) = carry
@@ -232,14 +248,16 @@ def _composite_bwd(grid: TileGrid, chunk: int, residuals, cts):
 
         c_aug = jnp.concatenate(
             [rgb[safe], depth[safe][..., None]], axis=-1)  # [T,K,4]
-        u = jnp.einsum("tkc,tpc->tkp", c_aug, g_aug)       # splat . pixel-grad
+        if feature_alpha_grad:
+            c_aug = jnp.concatenate([c_aug, feat[safe]], axis=-1)
+        u = es("tkc,tpc->tkp", c_aug, g_aug)       # splat . pixel-grad
         m = w * u
         # suffix over later splats: within-chunk reverse-exclusive cumsum +
         # cross-chunk carry (suffix holds sum_{later} w_j * c_j, and the
         # T_final * bg term is folded in by the renderer's init, see
         # rasterize.py).
         s_within = jnp.cumsum(m[:, ::-1, :], axis=1)[:, ::-1, :] - m
-        s_carry = (jnp.einsum("tpc,tpc->tp", suffix, g_aug)
+        s_carry = (es("tpc,tpc->tp", suffix, g_aug)
                    + d_final_t * final_t)[:, None, :]
         one_minus = 1.0 - alpha
         dl_dalpha = jnp.where(
@@ -258,11 +276,11 @@ def _composite_bwd(grid: TileGrid, chunk: int, residuals, cts):
             [jnp.sum(-0.5 * dx * dx * dl_dpower, axis=2),
              jnp.sum(-dx * dy * dl_dpower, axis=2),
              jnp.sum(-0.5 * dy * dy * dl_dpower, axis=2)], axis=-1)
-        d_rgb_k = jnp.einsum("tkp,tpc->tkc", w, d_color)
-        d_feat_k = jnp.einsum("tkp,tpf->tkf", w, d_feat_pix)
+        d_rgb_k = es("tkp,tpc->tkc", w, d_color)
+        d_feat_k = es("tkp,tpf->tkf", w, d_feat_pix)
         # Depth's only direct path is D = sum w * z (backward.cu:617); its
         # indirect effect enters dl_dalpha via c_aug channel 3 above.
-        d_depth_k = jnp.einsum("tkp,tp->tk", w, d_depth_pix)
+        d_depth_k = es("tkp,tp->tk", w, d_depth_pix)
 
         zero_if_pad = id_valid.astype(xy.dtype)[:, :, None]
         flat = safe.reshape(-1)
@@ -279,16 +297,15 @@ def _composite_bwd(grid: TileGrid, chunk: int, residuals, cts):
         d_feat = scat(d_feat, d_feat_k)
         d_depth = scat(d_depth, d_depth_k)
 
-        suffix = suffix + jnp.einsum("tkp,tkc->tpc", w, c_aug)
+        suffix = suffix + es("tkp,tkc->tpc", w, c_aug)
         t_end_prev = t_end * jnp.exp(-jnp.sum(log1m, axis=1))
         return (t_end_prev, suffix, d_xy, d_conic, d_op, d_rgb, d_feat,
                 d_depth), None
 
-    n_tiles = grid.num_tiles
-    n_pix = grid.pixels_per_tile
+    n_tiles, n_pix = pix_xy.shape[0], pix_xy.shape[1]
     init = (
         final_t,
-        jnp.zeros((n_tiles, n_pix, 4), xy.dtype),
+        jnp.zeros((n_tiles, n_pix, n_aug), xy.dtype),
         jnp.zeros((n, 2), xy.dtype),
         jnp.zeros((n, 3), xy.dtype),
         jnp.zeros((n,), xy.dtype),
@@ -301,7 +318,10 @@ def _composite_bwd(grid: TileGrid, chunk: int, residuals, cts):
         step, init, xs)
 
     d_tile_lists = np.zeros(tile_lists.shape, jax.dtypes.float0)
-    return (d_tile_lists, d_xy, d_conic, d_op, d_rgb, d_feat, d_depth)
+    # Pixel coordinates are a constant lattice; no useful cotangent.
+    d_pix_xy = jnp.zeros_like(pix_xy)
+    return (d_tile_lists, d_pix_xy, d_xy, d_conic, d_op, d_rgb, d_feat,
+            d_depth)
 
 
 composite.defvjp(_composite_fwd, _composite_bwd)

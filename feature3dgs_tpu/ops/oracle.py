@@ -26,7 +26,8 @@ from feature3dgs_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 
 def oracle_composite(pre: proj_lib.Preprocessed, feat: jnp.ndarray,
-                     bg: jnp.ndarray, grid: TileGrid):
+                     bg: jnp.ndarray, grid: TileGrid,
+                     feature_alpha_grad: bool = False):
     """Sequential per-pixel compositing over depth-sorted Gaussians.
 
     Returns dict with color [H,W,3], feature [H,W,F], depth [H,W],
@@ -63,7 +64,12 @@ def oracle_composite(pre: proj_lib.Preprocessed, feat: jnp.ndarray,
         contribute = ok & (test_t >= T_EPS)
         w_pix = jnp.where(contribute, alpha * trans, 0.0)
         acc_c = acc_c + w_pix[..., None] * pre.rgb[g]
-        acc_f = acc_f + w_pix[..., None] * feat[g]
+        # Reference parity: the feature->alpha gradient path is disabled in
+        # the CUDA backward (backward.cu:575), so by default the feature
+        # accumulation sees a stop-gradient'd weight (features still receive
+        # their own w * dL/dF gradient).
+        w_feat = w_pix if feature_alpha_grad else jax.lax.stop_gradient(w_pix)
+        acc_f = acc_f + w_feat[..., None] * feat[g]
         acc_d = acc_d + w_pix * pre.depth[g]
         trans = jnp.where(contribute, test_t, trans)
         done = done | terminate

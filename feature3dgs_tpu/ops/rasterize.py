@@ -51,6 +51,12 @@ class RasterConfig:
     chunk: int = 32
     instance_capacity: int = 1 << 20
     tile_capacity: int = 1 << 12
+    # MXU contraction precision for the compositing matmuls: 'highest' =
+    # exact f32 (reference-gradient parity), 'default' = bf16 passes (faster).
+    precision: str = "highest"
+    # The reference disables the feature->alpha gradient coupling
+    # (backward.cu:575); True restores the mathematically complete VJP.
+    feature_alpha_grad: bool = False
 
     def grid(self, width: int, height: int) -> TileGrid:
         return TileGrid(width=width, height=height,
@@ -66,6 +72,9 @@ class RasterOutput(NamedTuple):
     visibility: jnp.ndarray # [N] bool visibility filter (radii > 0)
     n_contrib: jnp.ndarray  # [H,W] int32 diagnostics
     total_instances: jnp.ndarray  # scalar int32: true instance count pre-cap
+    max_tile_count: jnp.ndarray   # scalar int32: longest per-tile list pre-cap
+    # (host compares these against config capacities to trigger re-jit with a
+    #  larger bucket; overflow silently drops the farthest splats otherwise)
 
 
 def tiles_to_image(tiles: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
@@ -137,8 +146,10 @@ def rasterize(
         tile_capacity=config.tile_capacity)
 
     out = composite_lib.composite(
-        bins.tile_lists, xy, pre.conic, pre.opacity, pre.rgb,
-        semantic_features, pre.depth, grid, config.chunk)
+        bins.tile_lists, composite_lib.tile_pixel_coords(grid, xy.dtype),
+        xy, pre.conic, pre.opacity, pre.rgb,
+        semantic_features, pre.depth, config.chunk, config.precision,
+        config.feature_alpha_grad)
 
     color = out.color + out.final_T[..., None] * bg
     radii = jnp.where(valid, pre.radius, 0.0)
@@ -152,4 +163,5 @@ def rasterize(
         visibility=radii > 0,
         n_contrib=tiles_to_image(out.n_contrib, grid),
         total_instances=bins.total,
+        max_tile_count=jnp.max(bins.tile_counts),
     )
