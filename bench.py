@@ -1,0 +1,111 @@
+"""Benchmark: training-step throughput of the TPU rasterizer.
+
+Measures full forward+backward+Adam training iterations (render RGB +
+128-dim semantic features + depth, reference loss of train.py:98-105) on a
+synthetic scene sized like the MipNeRF360 'garden' config of BASELINE.md
+(100K Gaussians, ~1 Mpix frame, 128 feature channels).
+
+Prints ONE json line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+denominator is a documented estimate of the CUDA reference's training
+throughput on its home hardware: Feature-3DGS trains ~30K iterations on a
+~1 Mpix frame with 128-d features in roughly 1-2 hours on an RTX-3090-class
+GPU => ~5-8 it/s => ~6e6 pixel*steps/s. We use 6.0e6 pix/s as the bar.
+"""
+from __future__ import annotations
+
+import json
+import math
+import time
+
+import numpy as np
+
+REFERENCE_PIX_S = 6.0e6
+
+N_GAUSS = 100_000
+F_DIM = 128
+W, H = 1216, 800  # ~1 Mpix, multiples of 16/32
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from feature3dgs_tpu.core import transforms
+    from feature3dgs_tpu.core.projection import CameraView
+    from feature3dgs_tpu.model import gaussians as G
+    from feature3dgs_tpu.model import optim
+    from feature3dgs_tpu.ops import RasterConfig
+    from feature3dgs_tpu.train.trainer import (OptimizationConfig, TrainState,
+                                               train_step)
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-2.0, 2.0, (N_GAUSS, 3)).astype(np.float32)
+    cols = rng.rand(N_GAUSS, 3).astype(np.float32)
+    params, state = G.create_from_pcd(
+        pts, cols, max_sh_degree=3, feature_dim=F_DIM, capacity=N_GAUSS,
+        knn_mean_dists=np.full(N_GAUSS, 2e-4, np.float32))
+    params = params.replace(
+        semantic_feature=jnp.asarray(
+            rng.randn(N_GAUSS, 1, F_DIM).astype(np.float32) * 0.1),
+        opacity=jnp.full((N_GAUSS, 1), 0.0, jnp.float32),  # sigmoid -> 0.5
+    )
+    state = state.replace(active_sh_degree=3)
+
+    view = transforms.world_to_view(np.eye(3), np.array([0.0, 0.0, 5.0]))
+    proj = transforms.projection_matrix(0.01, 100.0, 1.2, 0.9) @ view
+    cam = CameraView(
+        view=jnp.asarray(view), proj=jnp.asarray(proj),
+        campos=jnp.asarray(
+            transforms.camera_center_from_view(view).astype(np.float32)),
+        tan_fovx=jnp.float32(math.tan(0.6)), tan_fovy=jnp.float32(math.tan(0.45)),
+        width=W, height=H)
+
+    gt_image = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    gt_feature = jnp.asarray(
+        rng.randn(H // 2, W // 2, F_DIM).astype(np.float32) * 0.1)
+    bg = jnp.zeros(3)
+
+    rcfg = RasterConfig(instance_capacity=1 << 21, tile_capacity=1 << 11,
+                        chunk=32)
+    ocfg = OptimizationConfig()
+    ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),
+                    decoder=None, decoder_adam=None)
+
+    step_kwargs = dict(ocfg=ocfg, rcfg=rcfg, speedup=False, max_sh_degree=3)
+
+    # warmup / compile
+    t0 = time.time()
+    ts, metrics = train_step(ts, cam, gt_image, gt_feature, bg, jnp.int32(1),
+                             **step_kwargs)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    for i in range(ITERS):
+        ts, metrics = train_step(ts, cam, gt_image, gt_feature, bg,
+                                 jnp.int32(i + 2), **step_kwargs)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.time() - t0) / ITERS
+
+    pix_s = W * H / dt
+    print(json.dumps({
+        "metric": "train-step pixels/s (fwd+bwd+adam, RGB+128f, 100K gauss)",
+        "value": round(pix_s, 1),
+        "unit": "pix/s",
+        "vs_baseline": round(pix_s / REFERENCE_PIX_S, 4),
+        "detail": {
+            "step_ms": round(dt * 1000, 2),
+            "compile_s": round(compile_s, 1),
+            "instances": int(metrics["num_instances"]),
+            "image": [W, H], "n_gauss": N_GAUSS, "f_dim": F_DIM,
+            "device": str(jax.devices()[0]),
+            "loss": float(metrics["loss"]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

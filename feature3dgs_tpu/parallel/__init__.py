@@ -1,0 +1,5 @@
+from feature3dgs_tpu.parallel.sharded import (  # noqa: F401
+    make_mesh,
+    rasterize_tile_sharded,
+    sharded_train_step,
+)

@@ -1,0 +1,254 @@
+"""Multi-chip rendering & training over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.4: hard-coded cuda:0, no
+torch.distributed anywhere); these are new TPU-native designs:
+
+  mesh axis     what shards                   collectives
+  -----------   ---------------------------   --------------------------------
+  "data" (dp)   camera batch                  psum of loss + param grads
+  "tile" (sp)   the tile grid of each image   all_gather of rendered tiles for
+                (spatial parallelism — the     image-level losses (SSIM);
+                analog of the CUDA per-tile    psum of per-Gaussian grads (the
+                blocks, across chips)          TPU analog of atomicAdd +
+                                               all-reduce)
+
+Design: per-Gaussian preprocessing + binning are cheap O(N) work and run
+redundantly in every shard (identical results, zero communication);
+compositing — the FLOPs/memory-dominant stage — is sharded over tiles: each
+device composites its contiguous slice of the padded tile grid. Image-level
+losses require the full frame, so tiles are all_gather'ed over "tile" (its
+transpose, a reduce-scatter, routes pixel cotangents back to tile owners).
+Per-Gaussian gradients come out of each shard's scatter-adds and are summed
+across the mesh by shard_map's AD (replicated-input cotangent psum).
+
+Everything rides ICI via XLA collectives; the same code drives 1 chip, one
+host, or a multi-host slice (after jax.distributed.initialize).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from feature3dgs_tpu.core import projection as proj_lib
+from feature3dgs_tpu.core.projection import CameraView
+from feature3dgs_tpu.model import gaussians as G
+from feature3dgs_tpu.model import optim
+from feature3dgs_tpu.model.decoder import apply_decoder
+from feature3dgs_tpu.ops import RasterConfig
+from feature3dgs_tpu.ops import binning as binning_lib
+from feature3dgs_tpu.ops import composite as composite_lib
+from feature3dgs_tpu.ops.rasterize import tiles_to_image
+from feature3dgs_tpu.train import losses as L
+
+
+def make_mesh(shape: Sequence[int] | None = None,
+              axis_names: Sequence[str] = ("data", "tile")) -> jax.sharding.Mesh:
+    """Mesh over all visible devices; default puts everything on axis 0."""
+    n = len(jax.devices())
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} != {n} devices")
+    return jax.make_mesh(tuple(shape), tuple(axis_names))
+
+
+def _pad_tiles(arr, multiple: int, fill):
+    rem = (-arr.shape[0]) % multiple
+    if rem == 0:
+        return arr
+    return jnp.pad(arr, [(0, rem)] + [(0, 0)] * (arr.ndim - 1),
+                   constant_values=fill)
+
+
+def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
+                     ndc_offset=None):
+    """Per-device: replicated preprocess + binning, composite own tile slice,
+    all_gather tiles back to a full image. Runs INSIDE shard_map."""
+    grid = config.grid(cam.width, cam.height)
+
+    opacity = jnp.where(state.alive, G.get_opacity(params), 0.0)
+    pre = proj_lib.preprocess(
+        params.xyz, opacity, cam,
+        scales=G.get_scaling(params), rotations=G.get_rotation(params),
+        shs=G.get_features(params), sh_degree=state.active_sh_degree)
+
+    xy = pre.xy
+    if ndc_offset is not None:
+        wh = jnp.asarray([cam.width, cam.height], xy.dtype)
+        xy = xy + ndc_offset * wh * 0.5
+
+    rect_min, rect_max = proj_lib.tile_rect(
+        xy, pre.radius, grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0) & state.alive
+
+    bins = binning_lib.bin_gaussians(
+        jax.lax.stop_gradient(rect_min), jax.lax.stop_gradient(rect_max),
+        jax.lax.stop_gradient(pre.depth), jax.lax.stop_gradient(valid), grid,
+        instance_capacity=config.instance_capacity,
+        tile_capacity=config.tile_capacity)
+
+    pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)
+    tl = _pad_tiles(bins.tile_lists, n_tile, -1)
+    px = _pad_tiles(pix_xy, n_tile, 0.0)
+    t_loc = tl.shape[0] // n_tile
+    ti = jax.lax.axis_index("tile")
+    tl_local = jax.lax.dynamic_slice_in_dim(tl, ti * t_loc, t_loc, axis=0)
+    px_local = jax.lax.dynamic_slice_in_dim(px, ti * t_loc, t_loc, axis=0)
+
+    out = composite_lib.composite(
+        tl_local, px_local, xy, pre.conic, pre.opacity, pre.rgb,
+        G.get_semantic(params), pre.depth,
+        config.chunk, config.precision, config.feature_alpha_grad)
+
+    color_l = out.color + out.final_T[..., None] * bg
+    # gather tiles across the tile axis -> full frame on every device
+    color = jax.lax.all_gather(color_l, "tile", tiled=True)[: grid.num_tiles]
+    feature = jax.lax.all_gather(out.feature, "tile", tiled=True)[: grid.num_tiles]
+    depth = jax.lax.all_gather(out.depth, "tile", tiled=True)[: grid.num_tiles]
+
+    aux = {
+        "radii": jnp.where(valid, pre.radius, 0.0),
+        "visibility": valid & (pre.radius > 0),
+        "total_instances": bins.total,
+        "max_tile_count": jnp.max(bins.tile_counts),
+    }
+    return (tiles_to_image(color, grid), tiles_to_image(feature, grid),
+            tiles_to_image(depth, grid), aux)
+
+
+def rasterize_tile_sharded(params, state, cam: CameraView, *, bg,
+                           config: RasterConfig, mesh: jax.sharding.Mesh):
+    """Single-camera forward render with tiles sharded over 'tile'
+    (and redundantly computed over other mesh axes). Differentiable."""
+    n_tile = mesh.shape["tile"]
+
+    def shard_fn(params, state_alive, bg):
+        st = _StateView(state, state_alive)
+        color, feature, depth, aux = _local_composite(
+            params, st, cam, bg, config, n_tile)
+        return color, feature, depth
+
+    # alive passed explicitly so the pytree in_specs stay simple
+    specs_in = (jax.tree.map(lambda _: P(), params), P(), P())
+    color, feature, depth = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=specs_in,
+        out_specs=(P(), P(), P()), check_vma=False,
+    )(params, state.alive, bg)
+    return {"color": color, "feature": feature, "depth": depth}
+
+
+class _StateView:
+    """Lightweight stand-in exposing the fields _local_composite needs."""
+
+    def __init__(self, state, alive):
+        self.alive = alive
+        self.active_sh_degree = state.active_sh_degree
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "config", "width", "height", "lambda_dssim",
+                     "feature_loss_weight", "speedup"))
+def sharded_train_step(
+    params: G.GaussianParams,
+    state: G.GaussianState,
+    adam: optim.AdamState,
+    decoder,                     # dict params of the speed-up decoder, or {}
+    cam_arrays: dict,            # view/proj/campos/tan_fovx/tan_fovy, leading dim B
+    gt_images: jnp.ndarray,      # [B,H,W,3]
+    gt_features: jnp.ndarray,    # [B,h,w,F]
+    bg: jnp.ndarray,
+    lrs: G.GaussianParams,       # per-leaf learning rates (precomputed)
+    *,
+    mesh: jax.sharding.Mesh,
+    config: RasterConfig,
+    width: int,
+    height: int,
+    lambda_dssim: float = 0.2,
+    feature_loss_weight: float = 1.0,
+    speedup: bool = False,
+):
+    """One dp x sp training step over a camera batch.
+
+    Semantics: the loss is the MEAN over the B cameras of the reference's
+    per-iteration loss (train.py:98-105); gradients are psum'ed over the
+    mesh, Adam applies once. Densification statistics take the union of
+    visibility / max radii and the summed ndc gradients over the batch.
+    """
+    b = gt_images.shape[0]
+    n_data = mesh.shape["data"]
+    n_tile = mesh.shape["tile"]
+    if b % n_data:
+        raise ValueError(f"camera batch {b} not divisible by data axis {n_data}")
+    b_loc = b // n_data
+
+    def loss_fn(params, ndc_offset, decoder):
+        def shard_fn(view, proj, campos, tfx, tfy, gt_img, gt_feat,
+                     params, alive, ndc_offset, decoder):
+            st = _StateView(state, alive)
+            total = 0.0
+            vis = jnp.zeros((params.capacity,), bool)
+            rad = jnp.zeros((params.capacity,), jnp.float32)
+            for i in range(b_loc):
+                cam = CameraView(view=view[i], proj=proj[i], campos=campos[i],
+                                 tan_fovx=tfx[i], tan_fovy=tfy[i],
+                                 width=width, height=height)
+                color, feature, depth, aux = _local_composite(
+                    params, st, cam, bg, config, n_tile,
+                    ndc_offset=ndc_offset)
+                rgb_term, _ = L.rgb_loss(color, gt_img[i], lambda_dssim)
+                fmap = L.resize_bilinear_align_corners(
+                    feature, gt_feat.shape[1], gt_feat.shape[2])
+                if speedup:
+                    fmap = apply_decoder(decoder, fmap)
+                total = total + rgb_term + feature_loss_weight * L.l1_loss(
+                    fmap, gt_feat[i])
+                vis = vis | aux["visibility"]
+                rad = jnp.maximum(rad, aux["radii"])
+            # Mean over batch; the tile-redundant computation is normalized
+            # by n_tile so the full-mesh psum returns the true mean (and its
+            # transpose delivers exactly one cotangent share per tile owner).
+            loss = jax.lax.psum(total / (b * n_tile), ("data", "tile"))
+            vis = jax.lax.pmax(vis.astype(jnp.int32), ("data", "tile")) > 0
+            rad = jax.lax.pmax(rad, ("data", "tile"))
+            return loss, vis, rad
+
+        loss, vis, rad = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
+                      P("data"), P("data"),
+                      jax.tree.map(lambda _: P(), params), P(), P(),
+                      jax.tree.map(lambda _: P(), decoder)),
+            out_specs=(P(), P(), P()), check_vma=False,
+        )(cam_arrays["view"], cam_arrays["proj"], cam_arrays["campos"],
+          cam_arrays["tan_fovx"], cam_arrays["tan_fovy"],
+          gt_images, gt_features, params, state.alive, ndc_offset, decoder)
+        return loss, (vis, rad)
+
+    zeros_offset = jnp.zeros((params.capacity, 2), jnp.float32)
+    (loss, (vis, rad)), (g_params, g_offset, g_dec) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True)(params, zeros_offset, decoder)
+
+    new_params, new_adam = optim.adam_update(params, g_params, adam, lrs)
+    metrics = {"loss": loss}
+    densify_aux = {"ndc_grad": g_offset, "visibility": vis, "radii": rad,
+                   "decoder_grads": g_dec}
+    return new_params, new_adam, metrics, densify_aux
+
+
+def stack_cameras(cams: Sequence[CameraView]) -> dict:
+    """Stack same-resolution CameraViews into batched arrays for
+    sharded_train_step."""
+    return {
+        "view": jnp.stack([c.view for c in cams]),
+        "proj": jnp.stack([c.proj for c in cams]),
+        "campos": jnp.stack([c.campos for c in cams]),
+        "tan_fovx": jnp.stack([jnp.asarray(c.tan_fovx) for c in cams]),
+        "tan_fovy": jnp.stack([jnp.asarray(c.tan_fovy) for c in cams]),
+    }

@@ -1,0 +1,63 @@
+"""Loss parity vs torch (the reference's loss_utils math)."""
+import numpy as np
+import jax.numpy as jnp
+
+from feature3dgs_tpu.train import losses as L
+
+
+def test_ssim_matches_torch_reference():
+    import torch
+    import torch.nn.functional as F
+    from math import exp
+
+    def t_gauss(ws, sigma):
+        g = torch.Tensor([exp(-(x - ws // 2) ** 2 / (2 * sigma ** 2))
+                          for x in range(ws)])
+        return g / g.sum()
+
+    def t_ssim(img1, img2, ws=11):
+        ch = img1.size(0)
+        _1d = t_gauss(ws, 1.5).unsqueeze(1)
+        win = _1d.mm(_1d.t()).unsqueeze(0).unsqueeze(0).expand(ch, 1, ws, ws)
+        i1, i2 = img1.unsqueeze(0), img2.unsqueeze(0)
+        mu1 = F.conv2d(i1, win, padding=ws // 2, groups=ch)
+        mu2 = F.conv2d(i2, win, padding=ws // 2, groups=ch)
+        mu1s, mu2s, mu12 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+        s1 = F.conv2d(i1 * i1, win, padding=ws // 2, groups=ch) - mu1s
+        s2 = F.conv2d(i2 * i2, win, padding=ws // 2, groups=ch) - mu2s
+        s12 = F.conv2d(i1 * i2, win, padding=ws // 2, groups=ch) - mu12
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1s + mu2s + c1) * (s1 + s2 + c2))
+        return m.mean().item()
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(3, 24, 32).astype(np.float32)
+    b = np.clip(a + rng.randn(3, 24, 32).astype(np.float32) * 0.1, 0, 1)
+    want = t_ssim(torch.tensor(a), torch.tensor(b))
+    got = float(L.ssim(jnp.asarray(a.transpose(1, 2, 0)),
+                       jnp.asarray(b.transpose(1, 2, 0))))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_resize_bilinear_matches_torch_align_corners():
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.RandomState(1)
+    x = rng.randn(9, 13, 5).astype(np.float32)
+    want = F.interpolate(torch.tensor(x.transpose(2, 0, 1)).unsqueeze(0),
+                         size=(17, 23), mode="bilinear", align_corners=True)
+    want = want[0].numpy().transpose(1, 2, 0)
+    got = np.asarray(L.resize_bilinear_align_corners(jnp.asarray(x), 17, 23))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_psnr():
+    a = jnp.zeros((4, 4, 3))
+    b = jnp.full((4, 4, 3), 0.1)
+    np.testing.assert_allclose(float(L.psnr(a, b)), 20.0, atol=1e-4)
+
+
+def test_tv_loss():
+    x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4, 1))
+    # dx steps of 1 (3 rows x 3 diffs), dy steps of 4 (2x4 diffs)
+    assert float(L.tv_loss(x)) == 3 * 3 * 1 + 2 * 4 * 16

@@ -1,0 +1,101 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh.
+
+Checks that (a) tile-sharded rendering is pixel-identical to single-device,
+(b) the dp x sp sharded train step produces gradients matching the
+single-device step's, validating the psum/all_gather wiring."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from feature3dgs_tpu.model import gaussians as G
+from feature3dgs_tpu.model import optim
+from feature3dgs_tpu.ops import RasterConfig
+from feature3dgs_tpu.parallel import make_mesh, rasterize_tile_sharded, sharded_train_step
+from feature3dgs_tpu.parallel.sharded import stack_cameras
+from feature3dgs_tpu.render import renderer
+from feature3dgs_tpu.train import losses as L
+from feature3dgs_tpu.train.trainer import train_step, TrainState, OptimizationConfig
+
+from tests.utils import make_camera, random_gaussians
+
+W, H = 48, 32
+F_DIM = 4
+RCFG = RasterConfig(tile_w=16, tile_h=16, chunk=16,
+                    instance_capacity=1 << 12, tile_capacity=1 << 9)
+
+
+def _model(n=60, cap=64, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32)
+    cols = rng.rand(n, 3).astype(np.float32)
+    params, state = G.create_from_pcd(pts, cols, max_sh_degree=2,
+                                      feature_dim=F_DIM, capacity=cap)
+    params = params.replace(
+        semantic_feature=jnp.asarray(rng.randn(cap, 1, F_DIM).astype(np.float32)))
+    state = state.replace(active_sh_degree=2)
+    return params, state
+
+
+def test_tile_sharded_render_matches_single():
+    params, state = _model()
+    cam = make_camera(width=W, height=H)
+    bg = jnp.zeros(3)
+    mesh = make_mesh((2, 4))
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(
+            lambda p, s, b: rasterize_tile_sharded(
+                p, s, cam, bg=b, config=RCFG, mesh=mesh))(params, state, bg)
+    single = renderer.render(params, state, cam, bg=bg, config=RCFG)
+    np.testing.assert_allclose(sharded["color"], single.color, atol=1e-5)
+    np.testing.assert_allclose(sharded["feature"], single.feature, atol=1e-5)
+    np.testing.assert_allclose(sharded["depth"], single.depth, atol=1e-4)
+
+
+def test_sharded_train_step_matches_single_device_grads():
+    params, state = _model(seed=1)
+    adam = optim.init_adam(params)
+    rng = np.random.RandomState(2)
+    cams = [make_camera(width=W, height=H, cam_z=-4.0 - 0.5 * i)
+            for i in range(2)]
+    gt_images = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    gt_features = jnp.asarray(rng.randn(2, H // 2, W // 2, F_DIM).astype(np.float32))
+    bg = jnp.zeros(3)
+    lrs = optim.group_lrs(optim.LRConfig(), 1, 1.0)
+
+    mesh = make_mesh((2, 4))
+    with jax.set_mesh(mesh):
+        new_params, new_adam, metrics, aux = sharded_train_step(
+            params, state, adam, {}, stack_cameras(cams), gt_images,
+            gt_features, bg, lrs, mesh=mesh, config=RCFG, width=W, height=H)
+
+    # single-device equivalent: mean of per-camera losses
+    def loss_single(p, offset):
+        total = 0.0
+        for i, cam in enumerate(cams):
+            out = renderer.render(p, state, cam, bg=bg, config=RCFG,
+                                  ndc_offset=offset)
+            rgb_term, _ = L.rgb_loss(out.color, gt_images[i], 0.2)
+            fmap = L.resize_bilinear_align_corners(out.feature, H // 2, W // 2)
+            total = total + rgb_term + L.l1_loss(fmap, gt_features[i])
+        return total / 2
+
+    (loss_ref, ), = [(jax.jit(loss_single)(params, jnp.zeros((params.capacity, 2))),)]
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss_ref),
+                               rtol=2e-5, atol=1e-6)
+
+    g_ref, g_off_ref = jax.jit(jax.grad(loss_single, argnums=(0, 1)))(
+        params, jnp.zeros((params.capacity, 2)))
+    g_shard = jax.tree.map(lambda a, b: a - b, params, new_params)  # direction only
+
+    # compare the raw param grads via re-deriving from adam: instead compare
+    # ndc grad (direct output) and do one reference adam update
+    np.testing.assert_allclose(np.asarray(aux["ndc_grad"]),
+                               np.asarray(g_off_ref), atol=2e-5)
+    p_ref, _ = optim.adam_update(params, g_ref, adam, lrs)
+    for name in ("xyz", "opacity", "scaling", "rotation", "features_dc",
+                 "features_rest", "semantic_feature"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(new_params, name)),
+            np.asarray(getattr(p_ref, name)), atol=5e-5,
+            err_msg=f"sharded vs single param {name}")

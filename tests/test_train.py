@@ -1,0 +1,99 @@
+"""End-to-end training smoke tests on a synthetic scene.
+
+A ground-truth Gaussian model renders target images+features from a few
+cameras; a fresh model trains to fit them. Exercises the full jitted step
+(render -> loss -> VJP -> Adam -> stats) plus in-loop densify/reset.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from feature3dgs_tpu.data.cameras import Camera
+from feature3dgs_tpu.data.dataset import SceneData
+from feature3dgs_tpu.ops import RasterConfig, rasterize
+from feature3dgs_tpu.model import optim
+from feature3dgs_tpu.train.trainer import OptimizationConfig, Trainer
+
+from tests.utils import make_camera, random_gaussians
+
+W, H = 48, 32
+F_DIM = 4
+RCFG = RasterConfig(tile_w=16, tile_h=16, chunk=16,
+                    instance_capacity=1 << 13, tile_capacity=1 << 9)
+
+
+def _make_scene(n_cams=3, n_gt=120, seed=0):
+    rng = np.random.RandomState(seed)
+    gt = random_gaussians(n=n_gt, f_dim=F_DIM, seed=seed, max_sh_degree=3)
+    cams = []
+    for i in range(n_cams):
+        cv = make_camera(width=W, height=H, cam_z=-4.0 - 0.3 * i)
+        out = rasterize(gt["means3d"], gt["opacities"], gt["feat"], cv,
+                        scales=gt["scales"], rotations=gt["rotations"],
+                        shs=gt["shs"], sh_degree=3, config=RCFG)
+        cams.append(Camera(
+            uid=i, colmap_id=i, R=np.eye(3),
+            T=np.array([0.0, 0.0, 4.0 + 0.3 * i]),
+            fovx=1.0, fovy=0.8,
+            image=np.clip(np.asarray(out.color), 0, 1),
+            image_name=f"cam{i}",
+            semantic_feature=np.asarray(out.feature),
+            width=W, height=H))
+    pts = rng.uniform(-1.5, 1.5, (80, 3)).astype(np.float32)
+    cols = rng.rand(80, 3).astype(np.float32)
+    return SceneData(train_cameras=cams, test_cameras=[], points=pts,
+                     colors=cols,
+                     nerf_norm={"translate": np.zeros(3), "radius": 4.0},
+                     feature_dim=F_DIM, source_path="synthetic")
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return _make_scene()
+
+
+def test_training_reduces_loss(scene):
+    ocfg = OptimizationConfig(
+        iterations=40,
+        densify_from_iter=10, densify_until_iter=35,
+        densification_interval=15, opacity_reset_interval=10_000,
+        lr=optim.LRConfig(position_lr_max_steps=40))
+    tr = Trainer(scene, ocfg=ocfg, rcfg=RCFG, max_sh_degree=3,
+                 feature_dim=F_DIM, capacity_headroom=3.0)
+    first = tr.step()
+    losses = [first["loss"]]
+    for _ in range(39):
+        losses.append(tr.step()["loss"])
+    assert losses[-1] < 0.8 * losses[0], f"loss did not drop: {losses[0]} -> {losses[-1]}"
+    assert np.isfinite(losses).all()
+    # densify ran at iterations 15 and 30
+    assert tr.iteration == 40
+
+
+def test_training_speedup_decoder(scene):
+    ocfg = OptimizationConfig(iterations=10, densify_from_iter=1000,
+                              lr=optim.LRConfig(position_lr_max_steps=10))
+    tr = Trainer(scene, ocfg=ocfg, rcfg=RCFG, max_sh_degree=3,
+                 feature_dim=F_DIM, speedup=True, capacity_headroom=2.0)
+    # rendered feature dim is F/4; decoder lifts back to F
+    assert tr.ts.params.feature_dim == F_DIM // 4
+    l0 = tr.step()["loss"]
+    for _ in range(9):
+        m = tr.step()
+    assert np.isfinite(m["loss"])
+    assert m["loss"] < l0
+
+
+def test_opacity_reset_in_loop(scene):
+    ocfg = OptimizationConfig(iterations=6, densify_from_iter=1,
+                              densification_interval=100,
+                              opacity_reset_interval=3,
+                              densify_until_iter=100)
+    tr = Trainer(scene, ocfg=ocfg, rcfg=RCFG, max_sh_degree=3,
+                 feature_dim=F_DIM)
+    for _ in range(3):
+        tr.step()
+    op = np.asarray(jax.nn.sigmoid(tr.ts.params.opacity))
+    alive = np.asarray(tr.ts.gstate.alive)
+    assert np.all(op[alive] <= 0.0101)
