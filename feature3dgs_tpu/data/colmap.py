@@ -98,6 +98,12 @@ def read_points3d_binary(path: str):
     with open(path, "rb") as f:
         data = f.read()
     (n,) = struct.unpack_from("<Q", data, 0)
+    try:
+        from feature3dgs_tpu.native import loader as native
+        if native.available():
+            return native.colmap_scan_points3d(data, n)
+    except Exception:
+        pass
     offs = np.empty(n, dtype=np.int64)
     off = 8
     for i in range(n):

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Training CLI — the counterpart of /root/reference/train.py.
+
+Usage (same surface as the reference, README.md:232-250):
+  python scripts/train.py -s <dataset> -m <output> -f lseg [--speedup] ...
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import uuid
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Training script parameters")
+    from feature3dgs_tpu import config as C
+    C.add_model_args(parser)
+    C.add_optimization_args(parser)
+    C.add_pipeline_args(parser)
+    C.add_raster_args(parser)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--disable_viewer", action="store_true")
+    args = parser.parse_args(argv)
+    args.save_iterations.append(args.iterations)
+
+    mcfg = C.extract_model(args)
+    ocfg = C.extract_optimization(args)
+    rcfg = C.extract_raster(args)
+
+    if not mcfg.model_path:
+        mcfg.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
+    os.makedirs(mcfg.model_path, exist_ok=True)
+    print(f"Output folder: {mcfg.model_path}")
+
+    import jax
+    from feature3dgs_tpu.data.dataset import load_scene
+    from feature3dgs_tpu.train.trainer import Trainer
+    from feature3dgs_tpu.train import checkpoints as ckpt
+    from feature3dgs_tpu.render.modes import RENDER_ITEMS, render_net_image
+
+    scene = load_scene(
+        mcfg.source_path,
+        foundation_model=mcfg.foundation_model or None,
+        images_dir=mcfg.images, resolution=mcfg.resolution,
+        eval_split=mcfg.eval, white_background=mcfg.white_background)
+    print(f"Loaded scene: {len(scene.train_cameras)} train / "
+          f"{len(scene.test_cameras)} test cameras, "
+          f"{scene.points.shape[0]} points, feature dim {scene.feature_dim}")
+
+    ckpt.save_cfg_args(mcfg.model_path, {
+        **vars(args), "source_path": mcfg.source_path,
+        "model_path": mcfg.model_path})
+    ckpt.save_cameras_json(mcfg.model_path, scene.train_cameras)
+
+    trainer = Trainer(scene, ocfg=ocfg, rcfg=rcfg,
+                      max_sh_degree=mcfg.sh_degree,
+                      speedup=mcfg.speedup,
+                      white_background=mcfg.white_background, seed=args.seed)
+    if args.start_checkpoint:
+        ts, it = ckpt.load_checkpoint(args.start_checkpoint)
+        trainer.ts = ts
+        trainer.iteration = it
+        print(f"Restored checkpoint at iteration {it}")
+
+    gui = None
+    if not args.disable_viewer:
+        try:
+            from feature3dgs_tpu.viewer.network_gui import NetworkGUI
+            gui = NetworkGUI(args.ip, args.port)
+        except OSError as e:
+            print(f"viewer disabled ({e})")
+
+    ema_loss = 0.0
+    t_start = time.time()
+    log_path = os.path.join(mcfg.model_path, "train_log.jsonl")
+    with open(log_path, "a") as logf:
+        while trainer.iteration < ocfg.iterations:
+            t0 = time.time()
+            metrics = trainer.step()
+            it = trainer.iteration
+            ema_loss = 0.4 * metrics["loss"] + 0.6 * ema_loss if it > 1 \
+                else metrics["loss"]
+            if it % 10 == 0 and not args.quiet:
+                print(f"[{it}/{ocfg.iterations}] loss={ema_loss:.5f} "
+                      f"psnr={metrics['psnr']:.2f} "
+                      f"pts={int(metrics['num_active'])} "
+                      f"({(time.time() - t0) * 1000:.0f} ms/it)")
+            if it % 50 == 0:
+                logf.write(json.dumps({"iteration": it, **metrics,
+                                       "elapsed_s": time.time() - t_start}) + "\n")
+                logf.flush()
+
+            if it in args.test_iterations:
+                _report(trainer, scene, it)
+            if it in args.save_iterations:
+                print(f"\n[ITER {it}] Saving Gaussians")
+                ckpt.save_scene_ply(mcfg.model_path, it, trainer.ts.params,
+                                    trainer.ts.gstate)
+                if mcfg.speedup and trainer.ts.decoder is not None:
+                    ckpt.save_checkpoint(mcfg.model_path, it, trainer.ts)
+            if it in args.checkpoint_iterations:
+                print(f"\n[ITER {it}] Saving Checkpoint")
+                ckpt.save_checkpoint(mcfg.model_path, it, trainer.ts)
+
+            if gui is not None:
+                _serve_gui(gui, trainer, scene, ema_loss)
+
+    print("\nTraining complete.")
+
+
+def _report(trainer, scene, iteration):
+    """training_report analog (train.py:203-239): PSNR/L1 on test cameras +
+    5 fixed train cameras."""
+    import jax.numpy as jnp
+    from feature3dgs_tpu.render import renderer
+    from feature3dgs_tpu.train import losses as L
+    configs = [("test", scene.test_cameras),
+               ("train", [scene.train_cameras[i % len(scene.train_cameras)]
+                          for i in range(5, 30, 5)])]
+    for name, cams in configs:
+        if not cams:
+            continue
+        l1t, psnrt = 0.0, 0.0
+        for cam in cams:
+            out = renderer.render(trainer.ts.params, trainer.ts.gstate,
+                                  cam.to_view(), bg=trainer.bg,
+                                  config=trainer.rcfg)
+            img = jnp.clip(out.color, 0, 1)
+            gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
+            l1t += float(L.l1_loss(img, gt))
+            psnrt += float(L.psnr(img, gt))
+        n = len(cams)
+        print(f"\n[ITER {iteration}] Evaluating {name}: "
+              f"L1 {l1t / n:.5f} PSNR {psnrt / n:.2f}")
+
+
+def _serve_gui(gui, trainer, scene, ema_loss):
+    from feature3dgs_tpu.render import renderer
+    from feature3dgs_tpu.render.modes import RENDER_ITEMS, render_net_image
+    import numpy as np
+    if gui.conn is None:
+        gui.try_connect(list(RENDER_ITEMS))
+    while gui.conn is not None:
+        try:
+            cam = gui.receive()
+            img_bytes = None
+            if cam is not None:
+                out = renderer.render(
+                    trainer.ts.params, trainer.ts.gstate, cam.to_view(),
+                    bg=trainer.bg, config=trainer.rcfg,
+                    scaling_modifier=cam.scaling_modifier)
+                pkg = {"color": np.asarray(out.color),
+                       "feature": np.asarray(out.feature),
+                       "depth": np.asarray(out.depth)}
+                img_bytes = render_net_image(pkg, list(RENDER_ITEMS),
+                                             cam.render_mode, cam.proj_full)
+            gui.send(img_bytes, scene.source_path,
+                     {"#": int(trainer.ts.gstate.num_active),
+                      "loss": ema_loss})
+            if cam is not None and cam.do_training:
+                break
+            if cam is None:
+                break
+        except Exception:
+            gui.disconnect()
+
+
+if __name__ == "__main__":
+    main()
