@@ -1,0 +1,137 @@
+"""Tasks & tooling tests: editing ops, segmentation, config system,
+render modes, checkpointing."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from feature3dgs_tpu.model import gaussians as G
+from feature3dgs_tpu.render import editing
+from feature3dgs_tpu.tasks import segmentation as seg
+
+
+def _params_with_features(feats):
+    n = feats.shape[0]
+    rng = np.random.RandomState(0)
+    params, state = G.create_from_pcd(
+        rng.randn(n, 3).astype(np.float32), rng.rand(n, 3).astype(np.float32),
+        max_sh_degree=1, feature_dim=feats.shape[1], capacity=n)
+    return params.replace(
+        semantic_feature=jnp.asarray(feats[:, None, :])), state
+
+
+def test_selection_and_deletion():
+    # 4 gaussians, 2 "text" classes in feature space
+    t = np.eye(2, 4, dtype=np.float32)  # class0 = e0, class1 = e1
+    f = np.array([[5, 0, 0, 0], [0, 5, 0, 0], [4, 1, 0, 0], [0, 3, 1, 1]],
+                 np.float32)
+    params, state = _params_with_features(f)
+    edit = {"positive_ids": [0], "score_threshold": None,
+            "operations": {"deletion": True}}
+    p2, op = editing.apply_edits(params, jnp.asarray(t), edit)
+    # gaussians 0 and 2 align with class 0 -> deleted (opacity 0)
+    assert float(op[0]) == 0.0 and float(op[2]) == 0.0
+    assert float(op[1]) > 0.0 and float(op[3]) > 0.0
+
+
+def test_extraction_keeps_only_target():
+    t = np.eye(2, 4, dtype=np.float32)
+    f = np.array([[5, 0, 0, 0], [0, 5, 0, 0]], np.float32)
+    params, state = _params_with_features(f)
+    edit = {"positive_ids": [1], "score_threshold": None,
+            "operations": {"extraction": True}}
+    _, op = editing.apply_edits(params, jnp.asarray(t), edit)
+    assert float(op[0]) == 0.0 and float(op[1]) > 0.0
+
+
+def test_color_func_edit():
+    t = np.eye(2, 4, dtype=np.float32)
+    f = np.array([[5, 0, 0, 0], [0, 5, 0, 0]], np.float32)
+    params, state = _params_with_features(f)
+    edit = {"positive_ids": [0], "score_threshold": None,
+            "operations": {"color_func": lambda c: c * 0.0}}
+    p2, _ = editing.apply_edits(params, jnp.asarray(t), edit)
+    np.testing.assert_allclose(p2.features_dc[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(p2.features_dc[1], params.features_dc[1])
+
+
+def test_parse_edit_config(tmp_path):
+    cfg = """edit:
+  objects: ["car", "tree"]
+  operations: "color_func"
+  colorFunc: "lambda color: color * 0.5"
+  targets: "car"
+  threshold: 0.2
+"""
+    path = os.path.join(str(tmp_path), "edit.yaml")
+    with open(path, "w") as f:
+        f.write(cfg)
+    edit, objects, target = editing.parse_edit_config(path)
+    assert target == "car" and edit["positive_ids"] == [0]
+    assert edit["score_threshold"] == 0.2
+    fn = edit["operations"]["color_func"]
+    np.testing.assert_allclose(fn(np.ones(3)), 0.5)
+
+
+def test_segmentation_argmax_and_metrics():
+    rng = np.random.RandomState(1)
+    text = np.eye(3, 8, dtype=np.float32)
+    labels_gt = rng.randint(0, 3, (10, 12))
+    fmap = text[labels_gt] + rng.randn(10, 12, 8).astype(np.float32) * 0.05
+    labels, logits = seg.segment_features(jnp.asarray(fmap), jnp.asarray(text))
+    acc = seg.pixel_accuracy(np.asarray(labels), labels_gt)
+    assert acc > 0.95
+    assert 0.9 < seg.mean_iou(np.asarray(labels), labels_gt, 3) <= 1.0
+    rgbvis = seg.colorize_labels(np.asarray(labels))
+    assert rgbvis.shape == (10, 12, 3) and rgbvis.dtype == np.uint8
+
+
+def test_config_combine_with_saved(tmp_path):
+    from argparse import ArgumentParser
+    from feature3dgs_tpu import config as C
+    mp = str(tmp_path)
+    with open(os.path.join(mp, "cfg_args"), "w") as f:
+        f.write("Namespace(sh_degree=2, source_path='/data/x', speedup=True, "
+                "images='images_4')")
+    parser = ArgumentParser()
+    C.add_model_args(parser)
+    parser.add_argument("--iteration", type=int, default=-1)
+    args = C.combine_with_saved(parser, ["-m", mp, "-r", "2"])
+    assert args.sh_degree == 2           # from saved
+    assert args.source_path == "/data/x"  # from saved
+    assert args.resolution == 2          # CLI override
+    assert args.speedup is True
+    assert args.images == "images_4"
+
+
+def test_feature_pca_vis_shape():
+    from feature3dgs_tpu.render.modes import feature_pca_vis
+    rng = np.random.RandomState(2)
+    vis = feature_pca_vis(rng.randn(16, 20, 12).astype(np.float32))
+    assert vis.shape == (16, 20, 3)
+    assert vis.min() >= 0.0 and vis.max() <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from feature3dgs_tpu.model import optim
+    from feature3dgs_tpu.model.decoder import init_decoder
+    from feature3dgs_tpu.train import checkpoints as ckpt
+    from feature3dgs_tpu.train.trainer import TrainState
+    rng = np.random.RandomState(3)
+    params, state = G.create_from_pcd(
+        rng.randn(12, 3).astype(np.float32), rng.rand(12, 3).astype(np.float32),
+        max_sh_degree=2, feature_dim=4, capacity=16)
+    adam = optim.init_adam(params)
+    adam = optim.AdamState(mu=adam.mu, nu=adam.nu, step=jnp.int32(7))
+    dec = init_decoder(1, 4)
+    ts = TrainState(params=params, gstate=state.replace(active_sh_degree=2),
+                    adam=adam, decoder=dec,
+                    decoder_adam=optim.init_tensor_adam(dec))
+    path = ckpt.save_checkpoint(str(tmp_path), 123, ts)
+    ts2, it = ckpt.load_checkpoint(path)
+    assert it == 123
+    assert int(ts2.adam.step) == 7
+    assert ts2.gstate.active_sh_degree == 2
+    np.testing.assert_allclose(ts2.params.xyz, params.xyz)
+    np.testing.assert_allclose(ts2.decoder["w"], dec["w"])
