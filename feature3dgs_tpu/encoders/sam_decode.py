@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Promptable segmentation from RENDERED SAM embeddings — counterpart of
+/root/reference/encoders/sam_encoder/segment_prompt.py and segment.py.
+
+The reference forks segment-anything to accept precomputed ``features=``
+(automatic_mask_generator.py:137-237, predictor.py:38-98) so masks are
+decoded from embeddings rendered by the Gaussian model instead of the image
+encoder. transformers' SamModel natively accepts ``image_embeddings=``, so
+no fork is needed: we pad the rendered (cropped-aspect) embedding back to
+64x64 and run the prompt encoder + mask decoder only.
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+from feature3dgs_tpu.encoders.sam_encoder import load_sam
+
+
+def pad_embedding(emb_chw: np.ndarray) -> np.ndarray:
+    """Rendered embeddings are aspect-cropped (sam_encoder.encode_image);
+    pad back to [256, 64, 64] for the decoder."""
+    c, h, w = emb_chw.shape
+    out = np.zeros((c, 64, 64), emb_chw.dtype)
+    out[:, :h, :w] = emb_chw
+    return out
+
+
+def decode_masks(emb_chw: np.ndarray, image_hw: tuple[int, int],
+                 points=None, boxes=None, labels=None):
+    """Decode masks for point/box prompts from a [256,h,w] embedding.
+
+    points: [[x, y], ...] in original-image pixel coords.
+    Returns (masks [M, H, W] bool, iou_scores [M]).
+    """
+    import torch
+    model, proc = load_sam()
+    emb = torch.from_numpy(pad_embedding(emb_chw)[None]).float()
+    h, w = image_hw
+    dummy = np.zeros((h, w, 3), np.uint8)
+    kwargs = {}
+    if points is not None:
+        kwargs["input_points"] = [[list(map(float, p)) for p in points]]
+        kwargs["input_labels"] = [list(labels or [1] * len(points))]
+    if boxes is not None:
+        kwargs["input_boxes"] = [[list(map(float, b)) for b in boxes]]
+    inputs = proc(images=dummy, return_tensors="pt", **kwargs)
+    with torch.no_grad():
+        out = model(
+            image_embeddings=emb,
+            input_points=inputs.get("input_points"),
+            input_labels=inputs.get("input_labels"),
+            input_boxes=inputs.get("input_boxes"),
+            multimask_output=True)
+    masks = proc.image_processor.post_process_masks(
+        out.pred_masks.cpu(), inputs["original_sizes"],
+        inputs["reshaped_input_sizes"])[0]
+    return (masks[0].numpy().astype(bool),
+            out.iou_scores[0, 0].cpu().numpy())
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument("--feature", required=True,
+                        help="rendered embedding .npy/.pt (CxHxW)")
+    parser.add_argument("--image_size", nargs=2, type=int, required=True)
+    parser.add_argument("--point", nargs=2, type=float, action="append",
+                        required=True)
+    parser.add_argument("--output", required=True)
+    args = parser.parse_args(argv)
+
+    if args.feature.endswith(".npy"):
+        emb = np.load(args.feature).astype(np.float32)
+    else:
+        import torch
+        emb = torch.load(args.feature, map_location="cpu").float().numpy()
+    masks, scores = decode_masks(emb, tuple(args.image_size),
+                                 points=args.point)
+    from PIL import Image
+    best = masks[int(np.argmax(scores))]
+    Image.fromarray((best * 255).astype(np.uint8)).save(args.output)
+    print(f"saved best mask (iou {scores.max():.3f}) -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

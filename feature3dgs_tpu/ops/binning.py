@@ -60,6 +60,8 @@ class TileGrid(NamedTuple):
 class BinningResult(NamedTuple):
     tile_lists: jnp.ndarray   # [num_tiles, tile_capacity] int32 Gaussian ids, -1 pad
     tile_counts: jnp.ndarray  # [num_tiles] int32 (pre-truncation true counts)
+    tile_starts: jnp.ndarray  # [num_tiles] int32 offsets into gid_sorted
+    gid_sorted: jnp.ndarray   # [instance_capacity] int32 flat (tile,depth)-sorted
     total: jnp.ndarray        # scalar int32: true total instances (pre-cap)
     num_tiles_touched: jnp.ndarray  # [N] int32 per-Gaussian rect area (0 if culled)
 
@@ -130,6 +132,8 @@ def bin_gaussians(
     return BinningResult(
         tile_lists=tile_lists,
         tile_counts=counts,
+        tile_starts=starts,
+        gid_sorted=gid_sorted,
         total=total.astype(jnp.int32),
         num_tiles_touched=areas,
     )

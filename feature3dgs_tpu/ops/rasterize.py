@@ -57,6 +57,12 @@ class RasterConfig:
     # The reference disables the feature->alpha gradient coupling
     # (backward.cu:575); True restores the mathematically complete VJP.
     feature_alpha_grad: bool = False
+    # Compositing backend: 'pallas' = TPU kernels (ops/pallas_raster.py,
+    # work proportional to true instance counts); 'xla' = portable
+    # scan/matmul formulation (ops/composite.py); 'pallas_interpret' runs
+    # the kernels in interpreter mode (CPU debugging); 'auto' = pallas on
+    # TPU, xla elsewhere.
+    backend: str = "auto"
 
     def grid(self, width: int, height: int) -> TileGrid:
         return TileGrid(width=width, height=height,
@@ -145,11 +151,23 @@ def rasterize(
         instance_capacity=config.instance_capacity,
         tile_capacity=config.tile_capacity)
 
-    out = composite_lib.composite(
-        bins.tile_lists, composite_lib.tile_pixel_coords(grid, xy.dtype),
-        xy, pre.conic, pre.opacity, pre.rgb,
-        semantic_features, pre.depth, config.chunk, config.precision,
-        config.feature_alpha_grad)
+    backend = config.backend
+    if backend == "auto":
+        platform = jax.devices()[0].platform
+        backend = "pallas" if platform in ("tpu", "axon") else "xla"
+    if backend in ("pallas", "pallas_interpret"):
+        from feature3dgs_tpu.ops import pallas_raster
+        out = pallas_raster.composite_pallas(
+            bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
+            xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
+            pre.depth, grid, max(config.chunk, 8), config.feature_alpha_grad,
+            config.backend == "pallas_interpret")
+    else:
+        out = composite_lib.composite(
+            bins.tile_lists, composite_lib.tile_pixel_coords(grid, xy.dtype),
+            xy, pre.conic, pre.opacity, pre.rgb,
+            semantic_features, pre.depth, config.chunk, config.precision,
+            config.feature_alpha_grad)
 
     color = out.color + out.final_T[..., None] * bg
     radii = jnp.where(valid, pre.radius, 0.0)

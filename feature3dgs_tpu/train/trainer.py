@@ -110,6 +110,7 @@ def train_step(
     metrics = {
         "loss": loss, "l1": ll1, "l1_feature": ll1_feat,
         "num_instances": out.total_instances,
+        "max_tile_count": out.max_tile_count,
         "num_active": gstate.num_active,
         "psnr": L.psnr(jnp.clip(out.color, 0, 1), jnp.clip(gt_image, 0, 1)),
     }
@@ -175,6 +176,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.iteration = 0
         self._viewpoint_stack: list = []
+        self._gt_cache: dict = {}
 
     def pick_camera(self):
         """Random-without-replacement epoch sampling (train.py:84-86)."""
@@ -183,17 +185,18 @@ class Trainer:
         return self._viewpoint_stack.pop(
             self.rng.randint(0, len(self._viewpoint_stack) - 1))
 
-    def step(self, camera=None) -> dict:
+    def step(self, camera=None, sync: bool = True) -> dict:
+        """One training iteration. With sync=False the returned metrics are
+        device arrays (no host blocking — steps pipeline through the
+        dispatch queue; call float() on them only when logging)."""
         self.iteration += 1
         it = self.iteration
         if it % 1000 == 0:
             self.ts = self.ts.replace(gstate=G.one_up_sh_degree(
                 self.ts.gstate, self.max_sh_degree))
         cam = camera if camera is not None else self.pick_camera()
-        gt_image = jnp.asarray(cam.image)
-        gt_feature = (jnp.asarray(cam.semantic_feature)
-                      if cam.semantic_feature is not None
-                      else jnp.zeros((*cam.image.shape[:2], self.feature_out_dim)))
+        gt_image = self._device_cache(cam, "image")
+        gt_feature = self._device_cache(cam, "feature")
         self.ts, metrics = train_step(
             self.ts, cam.to_view(), gt_image, gt_feature, self.bg,
             jnp.int32(it), ocfg=self.ocfg, rcfg=self.rcfg,
@@ -207,10 +210,47 @@ class Trainer:
                     self.ts, sub, jnp.float32(self.extent), ocfg=o,
                     use_screen_size_prune=it > o.opacity_reset_interval)
                 self._maybe_grow(report)
+                self._maybe_grow_raster(metrics)
             if it % o.opacity_reset_interval == 0 or (
                     self.white_background and it == o.densify_from_iter):
                 self.ts = reset_opacity_step(self.ts)
-        return {k: float(v) for k, v in metrics.items()}
+        if sync:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
+
+    def _device_cache(self, cam, kind: str):
+        """GT tensors are uploaded once per camera and reused across epochs."""
+        cache = self._gt_cache.setdefault(kind, {})
+        if cam.uid not in cache:
+            if kind == "image":
+                cache[cam.uid] = jnp.asarray(cam.image)
+            else:
+                cache[cam.uid] = (
+                    jnp.asarray(cam.semantic_feature)
+                    if cam.semantic_feature is not None
+                    else jnp.zeros((*cam.image.shape[:2],
+                                    self.feature_out_dim), jnp.float32))
+        return cache[cam.uid]
+
+    def _maybe_grow_raster(self, metrics):
+        """Grow rasterizer capacities (re-jit) when binning overflows."""
+        total = int(metrics["num_instances"])
+        cfg = self.rcfg
+        changed = False
+        if total > 0.9 * cfg.instance_capacity:
+            cfg = dataclasses.replace(
+                cfg, instance_capacity=_round_capacity(int(total * 1.5)))
+            changed = True
+        if "max_tile_count" in metrics:
+            mtc = int(metrics["max_tile_count"])
+            if mtc > cfg.tile_capacity:
+                cfg = dataclasses.replace(
+                    cfg, tile_capacity=_round_capacity(int(mtc * 1.3)))
+                changed = True
+        if changed:
+            print(f"[raster] growing capacities -> instances "
+                  f"{cfg.instance_capacity}, tile {cfg.tile_capacity}")
+            self.rcfg = cfg
 
     def _maybe_grow(self, report):
         wanted = int(report.wanted_slots)
@@ -231,8 +271,10 @@ class Trainer:
         n = iterations or self.ocfg.iterations
         history = []
         for _ in range(n):
-            m = self.step()
-            if self.iteration % log_every == 0 or self.iteration == n:
+            log = self.iteration + 1 >= n or (self.iteration + 1) % log_every == 0
+            m = self.step(sync=log)
+            if log:
+                m = {k: float(v) for k, v in m.items()}
                 history.append({"iteration": self.iteration, **m})
                 if callback:
                     callback(self.iteration, m)

@@ -1,0 +1,118 @@
+"""Pallas kernel correctness (interpreter mode) vs the XLA composite.
+
+The real-TPU compilation/perf of these kernels is exercised by bench.py;
+here the interpreter validates the math: forward channels, final_T,
+n_contrib, and all six gradient groups must match ops/composite.py, which
+itself is differentially tested against the per-pixel oracle.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feature3dgs_tpu.core import projection as proj_lib
+from feature3dgs_tpu.ops import RasterConfig
+from feature3dgs_tpu.ops import binning as binning_lib
+from feature3dgs_tpu.ops.composite import composite, tile_pixel_coords
+from feature3dgs_tpu.ops.pallas_raster import composite_pallas
+
+from tests.utils import make_camera, random_gaussians
+
+W, H = 48, 32
+CFG = RasterConfig(tile_w=16, tile_h=16, chunk=16,
+                   instance_capacity=1 << 12, tile_capacity=1 << 9)
+GRID = CFG.grid(W, H)
+CAM = make_camera(width=W, height=H)
+
+
+def _setup(n=200, seed=0, boost=None):
+    g = random_gaussians(n=n, f_dim=4, seed=seed)
+    if boost:
+        g["opacities"] = jnp.minimum(g["opacities"] * boost, 0.999)
+    pre = proj_lib.preprocess(g["means3d"], g["opacities"], CAM,
+                              scales=g["scales"], rotations=g["rotations"],
+                              shs=g["shs"], sh_degree=2)
+    rect_min, rect_max = proj_lib.tile_rect(
+        pre.xy, pre.radius, GRID.grid_x, GRID.grid_y, GRID.tile_w, GRID.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    bins = binning_lib.bin_gaussians(
+        rect_min, rect_max, pre.depth, valid, GRID,
+        instance_capacity=CFG.instance_capacity,
+        tile_capacity=CFG.tile_capacity)
+    return g, pre, bins
+
+
+def _run_both(g, pre, bins, feature_alpha_grad=False):
+    ref = composite(bins.tile_lists, tile_pixel_coords(GRID), pre.xy,
+                    pre.conic, pre.opacity, pre.rgb, g["feat"], pre.depth,
+                    CFG.chunk, "highest", feature_alpha_grad)
+    pal = composite_pallas(bins.tile_starts, bins.tile_counts,
+                           bins.gid_sorted, bins.total, pre.xy, pre.conic,
+                           pre.opacity, (pre.rgb, g["feat"]), pre.depth,
+                           GRID, 64, feature_alpha_grad, True)
+    return ref, pal
+
+
+@pytest.mark.parametrize("boost", [None, 3.0])
+def test_pallas_forward_matches_xla(boost):
+    g, pre, bins = _setup(n=300 if boost else 200, seed=1 if boost else 0,
+                          boost=boost)
+    ref, pal = _run_both(g, pre, bins)
+    np.testing.assert_allclose(pal.color, ref.color, atol=1e-5)
+    np.testing.assert_allclose(pal.feature, ref.feature, atol=1e-5)
+    np.testing.assert_allclose(pal.depth, ref.depth, atol=1e-4)
+    np.testing.assert_allclose(pal.final_T, ref.final_T, atol=1e-5)
+    np.testing.assert_array_equal(pal.n_contrib, ref.n_contrib)
+
+
+@pytest.mark.parametrize("fag", [False, True])
+def test_pallas_gradients_match_xla(fag):
+    g, pre, bins = _setup(n=150, seed=2)
+    rng = np.random.RandomState(0)
+    tc = jnp.asarray(rng.rand(GRID.num_tiles, 256, 3).astype(np.float32))
+    tf = jnp.asarray(rng.randn(GRID.num_tiles, 256, 4).astype(np.float32))
+    td = jnp.asarray(rng.rand(GRID.num_tiles, 256).astype(np.float32))
+    bg = jnp.asarray([0.7, 0.4, 0.2])
+
+    def loss_with(fn):
+        def loss(xy, conic, op, rgb, feat, depth):
+            o = fn(xy, conic, op, rgb, feat, depth)
+            col = o.color + o.final_T[..., None] * bg
+            return (jnp.mean(jnp.abs(col - tc))
+                    + jnp.mean(jnp.abs(o.feature - tf))
+                    + jnp.mean(jnp.abs(o.depth - td)))
+        return loss
+
+    ref_fn = lambda xy, conic, op, rgb, feat, depth: composite(
+        bins.tile_lists, tile_pixel_coords(GRID), xy, conic, op, rgb, feat,
+        depth, CFG.chunk, "highest", fag)
+    pal_fn = lambda xy, conic, op, rgb, feat, depth: composite_pallas(
+        bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
+        xy, conic, op, (rgb, feat), depth, GRID, 64, fag, True)
+
+    args = (pre.xy, pre.conic, pre.opacity, pre.rgb, g["feat"], pre.depth)
+    gr = jax.grad(loss_with(ref_fn), argnums=tuple(range(6)))(*args)
+    gp = jax.grad(loss_with(pal_fn), argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["xy", "conic", "op", "rgb", "feat", "depth"], gp, gr):
+        s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-6, err_msg=f"grad {name} (fag={fag})")
+
+
+def test_rasterize_backend_interpret_end_to_end():
+    from feature3dgs_tpu.ops import rasterize
+    g = random_gaussians(n=150, f_dim=4, seed=3)
+    cfg_p = RasterConfig(instance_capacity=1 << 12, tile_capacity=1 << 9,
+                         chunk=16, backend="pallas_interpret")
+    cfg_x = RasterConfig(instance_capacity=1 << 12, tile_capacity=1 << 9,
+                         chunk=16, backend="xla")
+    kw = dict(scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+              sh_degree=2, bg=jnp.asarray([1.0, 0.5, 0.0]))
+    op_ = rasterize(g["means3d"], g["opacities"], g["feat"], CAM,
+                    config=cfg_p, **kw)
+    ox = rasterize(g["means3d"], g["opacities"], g["feat"], CAM,
+                   config=cfg_x, **kw)
+    np.testing.assert_allclose(op_.color, ox.color, atol=1e-5)
+    np.testing.assert_allclose(op_.feature, ox.feature, atol=1e-5)
+    np.testing.assert_allclose(op_.alpha, ox.alpha, atol=1e-5)
