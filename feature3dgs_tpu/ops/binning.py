@@ -8,11 +8,14 @@ cuda_rasterizer/rasterizer_impl.cu:70-138, 198-342):
   --------------------------------      ----------------------------------
   cub InclusiveSum(tiles_touched)       jnp.cumsum of per-Gaussian rect areas
   duplicateWithKeys (1 thread/gauss,    static-capacity slot expansion: slot
-    variable #writes)                     s -> owning Gaussian via searchsorted
+    variable #writes)                     s -> owning Gaussian via boundary
+                                          markers + prefix count (searchsorted
+                                          lowers to per-query binary-search
+                                          gathers on TPU — ~10x slower)
   cub radix sort on [tile|depth] u64    jax.lax.sort, lexicographic 2-key
-  identifyTileRanges                    searchsorted per tile id
+  identifyTileRanges                    per-tile histogram + exclusive cumsum
   per-tile variable ranges              padded [num_tiles, capacity] index
-                                          matrix (-1 padding)
+                                          matrix (-1 padding), optional
 
 Everything is static-shaped: ``instance_capacity`` bounds the total number of
 (Gaussian, tile) instances and ``tile_capacity`` the per-tile list length.
@@ -58,10 +61,11 @@ class TileGrid(NamedTuple):
 
 
 class BinningResult(NamedTuple):
-    tile_lists: jnp.ndarray   # [num_tiles, tile_capacity] int32 Gaussian ids, -1 pad
+    tile_lists: jnp.ndarray | None  # [num_tiles, tile_capacity] int32 Gaussian ids, -1 pad (None if not built)
     tile_counts: jnp.ndarray  # [num_tiles] int32 (pre-truncation true counts)
     tile_starts: jnp.ndarray  # [num_tiles] int32 offsets into gid_sorted
     gid_sorted: jnp.ndarray   # [instance_capacity] int32 flat (tile,depth)-sorted
+    tile_sorted: jnp.ndarray  # [instance_capacity] int32 owning tile id per sorted slot (num_tiles sentinel for invalid)
     total: jnp.ndarray        # scalar int32: true total instances (pre-cap)
     num_tiles_touched: jnp.ndarray  # [N] int32 per-Gaussian rect area (0 if culled)
 
@@ -75,6 +79,7 @@ def bin_gaussians(
     *,
     instance_capacity: int,
     tile_capacity: int,
+    build_tile_lists: bool = True,
 ) -> BinningResult:
     """Build depth-sorted per-tile Gaussian lists.
 
@@ -96,44 +101,70 @@ def bin_gaussians(
     total = offsets[-1] + areas[-1]
 
     # Expansion: slot s belongs to Gaussian g = rightmost g with offset <= s.
+    # One boundary marker per Gaussian at its segment start, then an
+    # inclusive prefix count; empty segments stack markers at the same slot
+    # and the count skips over them correctly. (A searchsorted here lowers
+    # to log2(N) strided gathers per slot on TPU — ~30ms at 256K slots; the
+    # scatter+cumsum form is memory-bound.)
     slots = jnp.arange(instance_capacity, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32) - 1
+    markers = jnp.zeros((instance_capacity,), jnp.int32).at[offsets].add(
+        1, mode="drop")
+    gid = jnp.cumsum(markers) - 1
     gid = jnp.clip(gid, 0, n - 1)
     slot_valid = slots < total
 
     # Local tile within the Gaussian's rect, row-major like duplicateWithKeys.
-    local = slots - offsets[gid]
-    w_g = jnp.maximum(widths[gid], 1)
-    ty = rect_min[gid, 1] + local // w_g
-    tx = rect_min[gid, 0] + local % w_g
+    # One fused [N,8] f32 table gather (five separate gathers cost ~1ms each
+    # at 256K slots); all values are small integers, exact in f32.
+    table = jnp.stack([
+        offsets.astype(jnp.float32),
+        jnp.maximum(widths, 1).astype(jnp.float32),
+        rect_min[:, 0].astype(jnp.float32),
+        rect_min[:, 1].astype(jnp.float32),
+        depth.astype(jnp.float32),
+    ], axis=1)
+    gathered = table[gid]                        # [L, 5]
+    local = slots.astype(jnp.float32) - gathered[:, 0]
+    w_g = gathered[:, 1]
+    # TPU has no hardware integer divide; use f32 reciprocal-multiply with a
+    # one-step exact fixup (local < 2^23 so all quantities are f32-exact).
+    q = jnp.floor(local * (1.0 / w_g))
+    r = local - q * w_g
+    q = q + jnp.where(r >= w_g, 1.0, 0.0) - jnp.where(r < 0.0, 1.0, 0.0)
+    r = local - q * w_g
+    ty = gathered[:, 3] + q
+    tx = gathered[:, 2] + r
     tile_id = (ty * grid.grid_x + tx).astype(jnp.int32)
 
     # Invalid slots sort to the end.
     sentinel_tile = jnp.int32(grid.num_tiles)
     tile_key = jnp.where(slot_valid, tile_id, sentinel_tile)
-    depth_key = jnp.where(slot_valid, depth[gid], jnp.float32(jnp.inf))
+    depth_key = jnp.where(slot_valid, gathered[:, 4], jnp.float32(jnp.inf))
 
     tile_sorted, _, gid_sorted = jax.lax.sort(
         (tile_key, depth_key, gid), num_keys=2, is_stable=True)
 
-    # Per-tile ranges (identifyTileRanges analog).
-    tile_ids = jnp.arange(grid.num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_sorted, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(tile_sorted, tile_ids, side="right").astype(jnp.int32)
-    counts = ends - starts
+    # Per-tile ranges (identifyTileRanges analog): histogram + exclusive
+    # cumsum; the sentinel tile id falls off the end via mode="drop".
+    counts = jnp.zeros((grid.num_tiles,), jnp.int32).at[tile_key].add(
+        1, mode="drop")
+    starts = jnp.cumsum(counts) - counts
 
-    # Padded per-tile index matrix; truncation keeps the nearest entries.
-    lane = jnp.arange(tile_capacity, dtype=jnp.int32)
-    pos = starts[:, None] + lane[None, :]
-    in_range = lane[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
-    pos = jnp.clip(pos, 0, max(instance_capacity - 1, 0))
-    tile_lists = jnp.where(in_range, gid_sorted[pos], jnp.int32(-1))
+    tile_lists = None
+    if build_tile_lists:
+        # Padded per-tile index matrix; truncation keeps the nearest entries.
+        lane = jnp.arange(tile_capacity, dtype=jnp.int32)
+        pos = starts[:, None] + lane[None, :]
+        in_range = lane[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
+        pos = jnp.clip(pos, 0, max(instance_capacity - 1, 0))
+        tile_lists = jnp.where(in_range, gid_sorted[pos], jnp.int32(-1))
 
     return BinningResult(
         tile_lists=tile_lists,
         tile_counts=counts,
         tile_starts=starts,
         gid_sorted=gid_sorted,
+        tile_sorted=tile_sorted,
         total=total.astype(jnp.int32),
         num_tiles_touched=areas,
     )

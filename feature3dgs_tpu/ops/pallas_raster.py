@@ -11,17 +11,23 @@ portable fallback and correctness oracle):
     the CUDA per-tile blocks (forward.cu:261-396) under the TPU execution
     model.
   * Instance data is pre-gathered (one XLA take on the binning order) into
-    two packed, DMA-friendly slabs:
-      geom  [L, 8]      = x, y, conic_a, conic_b, conic_c, opacity, 0, 0
-      chans [L, C_pad]  = rgb(3) | depth(1) | semantic features | zero pad
-    so the per-chunk compute is [K, P] VPU math + one [P,K]x[K,C] MXU
-    matmul that accumulates color, depth and all feature channels at once.
+    ONE packed, 128-lane-aligned slab per instance slot:
+      slab [L, C_pad] = | geom (8 lanes: x, y, conic_a, conic_b, conic_c,
+                          opacity, 0, 0) | rgb (3) | depth (1) | semantic
+                          features (F) | zero pad |
+    so each chunk is a single aligned DMA, the per-chunk compute is [K, P]
+    VPU math plus one [P,K]x[K,C] MXU matmul that accumulates color, depth
+    and all feature channels at once (the geom lanes ride along as dead
+    outputs inside the same 128-lane tile — zero marginal MXU cost).
+  * Prefix/suffix scans over the chunk (transmittance products, dL/dalpha
+    suffix sums) are triangular-matrix matmuls on the MXU — Mosaic has no
+    cumsum lowering, and this is the idiomatic TPU form anyway.
   * The backward kernel re-walks each tile back-to-front (saved final_T +
     n_contrib, exactly like backward.cu:406-620) and writes PER-INSTANCE
-    gradients — each instance slot belongs to exactly one tile, so there
-    are no atomics; a single segment-sum outside the kernel reduces
-    instances -> Gaussians (the TPU equivalent of the reference's
-    atomicAdd accumulation).
+    gradients into the same slab layout — each instance slot belongs to
+    exactly one tile, so there are no atomics; a single segment-sum outside
+    the kernel reduces instances -> Gaussians (the TPU equivalent of the
+    reference's atomicAdd accumulation).
 
 Reference-parity notes match ops/composite.py: alpha in [1/255, 0.99],
 T < 1e-4 termination with done latch, feature->alpha gradient coupling
@@ -43,21 +49,58 @@ from feature3dgs_tpu.ops.binning import TileGrid
 from feature3dgs_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS
 
 LANE = 128
+# slab lane layout: geom fields first (8-aligned block), then channels
+GEOM_LANES = 8           # x, y, conic_a, conic_b, conic_c, opacity, 0, 0
+CH_OFF = GEOM_LANES      # rgb at CH_OFF..CH_OFF+2, depth at CH_OFF+3,
+FEAT_OFF = CH_OFF + 4    # features at FEAT_OFF..FEAT_OFF+F
 
 
 def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def slab_width(f_dim: int) -> int:
+    return _ceil_to(FEAT_OFF + f_dim, LANE)
+
+
+def _tri(k: int, kind: str):
+    """Triangular 0/1 [K,K] masks for scan-as-matmul.
+
+    Mosaic has no cumsum lowering; on TPU the idiomatic form of a K-length
+    prefix/suffix scan is a triangular matmul on the MXU:
+      cumsum(x, 0)        == _tri(K,'lower_inc') @ x
+      suffix_sum(x, 0)    == _tri(K,'upper_inc') @ x   (inclusive)
+      suffix_sum - x      == _tri(K,'upper_str') @ x   (strict)
+    """
+    ki = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    if kind == "lower_inc":
+        m = kj <= ki
+    elif kind == "upper_inc":
+        m = kj >= ki
+    else:  # upper_str
+        m = kj > ki
+    return m.astype(jnp.float32)
+
+
+def _mm(a, b, contract):
+    # Exact-f32 MXU matmul: the scanned values are log-transmittances and
+    # pixel cotangents; bf16 passes would visibly bias exp() downstream.
+    return jax.lax.dot_general(
+        a, b, ((contract, ((), ()))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm,
+def _fwd_kernel(starts_ref, counts_ref, slab_hbm,
                 out_ref, finalt_ref, ncontrib_ref,
-                geom_buf, chan_buf, acc, tcar, live, ncon, sems,
+                buf, acc, tcar, live, ncon, sems,
                 *, k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int, interpret: bool):
+                c_pad: int, l_cap: int):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -77,22 +120,40 @@ def _fwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm,
 
     n_chunks = pl.cdiv(count, k_chunk)
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
+    tril = _tri(k_chunk, "lower_inc")
 
-    def chunk_body(i, _):
-        # The instance slabs are padded by >= one extra chunk beyond the last
-        # tile's end (see pack_instances), so start + i*K + K <= l_cap always;
-        # the min() is a never-binding safety clamp.
-        off = jnp.minimum(start + i * k_chunk, l_cap - k_chunk)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[pl.ds(off, k_chunk), :], geom_buf, sems.at[0])
-        cp_c = pltpu.make_async_copy(
-            chans_hbm.at[pl.ds(off, k_chunk), :], chan_buf, sems.at[1])
-        cp_g.start()
-        cp_c.start()
-        cp_g.wait()
-        cp_c.wait()
+    def get_dma(slot, i):
+        # start is k_chunk-aligned (align_tile_segments) and l_cap is a
+        # multiple of k_chunk, so the min() keeps alignment; it only binds
+        # on tile-list overflow past the slab end (splat-drop policy).
+        off = pl.multiple_of(
+            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), k_chunk)
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(off, k_chunk), :], buf.at[slot],
+            sems.at[slot])
 
-        g = geom_buf[...]                      # [K, 8]
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        i, alive = state
+        return (i < n_chunks) & alive
+
+    def chunk_body(state):
+        i, _ = state
+        slot = jax.lax.rem(i, 2)
+
+        # double buffering: next chunk's DMA rides under this chunk's compute
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            get_dma(1 - slot, i + 1).start()
+
+        get_dma(slot, i).wait()
+
+        off = pl.multiple_of(
+            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), k_chunk)
+        g = buf[slot]                          # [K, C_pad]
         dx = g[:, 0:1] - px                    # [K, P]
         dy = g[:, 1:2] - py
         ca, cb, cc = g[:, 2:3], g[:, 3:4], g[:, 4:5]
@@ -106,7 +167,7 @@ def _fwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm,
         ok = (power <= 0.0) & (araw >= ALPHA_MIN) & in_count
         alpha = jnp.where(ok, araw, 0.0)
         log1m = jnp.log1p(-alpha)
-        cum = jnp.cumsum(log1m, axis=0)
+        cum = _mm(tril, log1m, ((1,), (0,)))
         t_in = tcar[...]                        # [1, P]
         t_after = t_in * jnp.exp(cum)
         t_before = t_in * jnp.exp(cum - log1m)
@@ -114,9 +175,9 @@ def _fwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm,
         mask = ok & (t_after >= T_EPS) & lv
         w = jnp.where(mask, alpha * t_before, 0.0)
 
-        acc[...] += jax.lax.dot_general(
-            w, chan_buf[...], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [P, C]
+        # [P,K]x[K,C]: color+depth+all features in one MXU pass (geom lanes
+        # accumulate dead values inside the same lane tile — free)
+        acc[...] += _mm(w, g, ((0,), (0,)))
 
         tcar[...] = t_in * jnp.exp(
             jnp.sum(jnp.where(mask, log1m, 0.0), axis=0, keepdims=True))
@@ -127,49 +188,59 @@ def _fwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm,
         ncon[...] = jnp.maximum(
             ncon[...], jnp.max(jnp.where(mask, pos, 0), axis=0,
                                keepdims=True))
-        return 0
+        # early exit once every pixel's transmittance hit the floor (the
+        # reference's per-pixel done flag, forward.cu:354-359, tile-level)
+        return i + 1, jnp.sum(live[...]) > 0.0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    i_exit, _ = jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), True))
+
+    # an early exit leaves chunk i_exit's prefetch in flight; settle it so
+    # the semaphore is clean for the next grid step
+    @pl.when((i_exit > 0) & (i_exit < n_chunks))
+    def _():
+        get_dma(jax.lax.rem(i_exit, 2), i_exit).wait()
+
     out_ref[0] = acc[...]
-    finalt_ref[0] = tcar[...][0]
-    ncontrib_ref[0] = ncon[...][0]
+    # finalt/ncontrib are (T, 1, P) so their (1, 1, P) blocks satisfy the TPU
+    # tiling rule (second-to-minor block dim must equal the array dim or be a
+    # multiple of 8); ref[0] is the (1, P) plane.
+    finalt_ref[0] = tcar[...]
+    ncontrib_ref[0] = ncon[...]
 
 
-def forward(starts, counts, geom, chans, grid: TileGrid, *, k_chunk: int = 64,
+def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
             interpret: bool = False):
     """Run the forward compositing kernel.
 
-    Args: starts/counts [T] int32; geom [L,8] f32; chans [L,C_pad] f32 with
-    C_pad a multiple of 128 and L a multiple of k_chunk.
+    Args: starts/counts [T] int32; slab [L, C_pad] f32 with C_pad a multiple
+    of 128 and L a multiple of k_chunk.
     Returns (out [T,P,C_pad], final_T [T,P], n_contrib [T,P]).
     """
     t_tiles = grid.num_tiles
     p = grid.pixels_per_tile
-    l_cap, c_pad = geom.shape[0], chans.shape[1]
+    l_cap, c_pad = slab.shape
     assert l_cap % k_chunk == 0 and c_pad % LANE == 0
 
     kernel = functools.partial(
         _fwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
-        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, interpret=interpret)
+        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, p, c_pad), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p), lambda t, s, c: (t, 0),
+            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p), lambda t, s, c: (t, 0),
+            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((k_chunk, 8), jnp.float32),
-            pltpu.VMEM((k_chunk, c_pad), jnp.float32),
+            pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
             pltpu.VMEM((p, c_pad), jnp.float32),
             pltpu.VMEM((1, p), jnp.float32),
             pltpu.VMEM((1, p), jnp.float32),
@@ -182,25 +253,25 @@ def forward(starts, counts, geom, chans, grid: TileGrid, *, k_chunk: int = 64,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t_tiles, p, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, p), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, p), jnp.int32),
+            jax.ShapeDtypeStruct((t_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_tiles, 1, p), jnp.int32),
         ],
         interpret=interpret,
-    )(starts, counts, geom, chans)
-    return out, finalt, ncontrib
+    )(starts, counts, slab)
+    return out, finalt.reshape(t_tiles, p), ncontrib.reshape(t_tiles, p)
 
 
 # ---------------------------------------------------------------------------
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm, gpix_ref,
-                gft_ref, finalt_ref, ncontrib_ref, amask_ref,
-                dgeom_hbm, dchans_hbm,
-                geom_buf, chan_buf, dgeom_buf, dchan_buf, suffix, tend,
-                sems, osems,
+def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
+                gft_ref, finalt_ref, ncontrib_ref, amask_ref, dinit_hbm,
+                dslab_hbm,
+                buf, dbuf, suffix, tend, sems, osems,
                 *, k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int, interpret: bool):
+                c_pad: int, l_cap: int):
+    del dinit_hbm  # aliased zero-init of dslab_hbm; only its buffer is used
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -213,32 +284,60 @@ def _bwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm, gpix_ref,
     py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
     suffix[...] = jnp.zeros_like(suffix)
-    tend[...] = finalt_ref[0][None, :]
+    # g_finalt/finalt/ncontrib arrive as (T, 1, P); ref[0] is the (1, P) plane
+    tend[...] = finalt_ref[0]
 
     gpix = gpix_ref[0]          # [P, C_pad] pixel cotangents
-    d_ft = gft_ref[0][None, :]  # [1, P] final_T cotangent
+    d_ft = gft_ref[0]           # [1, P] final_T cotangent
     amask = amask_ref[...]      # [1, C_pad] alpha-coupling channel mask
     gpix_a = gpix * amask       # masked pixel grads driving dL/dalpha
-    ncontrib = ncontrib_ref[0][None, :]  # [1, P]
+    ncontrib = ncontrib_ref[0]  # [1, P]
 
-    n_chunks = pl.cdiv(count, k_chunk)
+    # Chunks past the deepest contributor carry zero gradient — skip them
+    # entirely (dslab is zero-initialized via the aliased input, so skipped
+    # rows stay zero for the segment-sum).
+    max_nc = jnp.max(ncontrib)
+    n_chunks = jnp.minimum(pl.cdiv(count, k_chunk),
+                           pl.cdiv(max_nc, k_chunk))
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
-    finalt_row = finalt_ref[0][None, :]
+    finalt_row = finalt_ref[0]
+    triu_inc = _tri(k_chunk, "upper_inc")
+    triu_str = _tri(k_chunk, "upper_str")
+
+    def chunk_off(i):
+        return pl.multiple_of(
+            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), k_chunk)
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(chunk_off(i), k_chunk), :], buf.at[slot],
+            sems.at[slot])
+
+    def put_dma(slot, i):
+        return pltpu.make_async_copy(
+            dbuf.at[slot], dslab_hbm.at[pl.ds(chunk_off(i), k_chunk), :],
+            osems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, n_chunks - 1).start()
 
     def chunk_body(j, _):
         i = n_chunks - 1 - j
-        off = jnp.minimum(start + i * k_chunk, l_cap - k_chunk)
-        cp_g = pltpu.make_async_copy(
-            geom_hbm.at[pl.ds(off, k_chunk), :], geom_buf, sems.at[0])
-        cp_c = pltpu.make_async_copy(
-            chans_hbm.at[pl.ds(off, k_chunk), :], chan_buf, sems.at[1])
-        cp_g.start()
-        cp_c.start()
-        cp_g.wait()
-        cp_c.wait()
+        slot = jax.lax.rem(j, 2)
 
-        g = geom_buf[...]
-        ch = chan_buf[...]                          # [K, C]
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            get_dma(1 - slot, i - 1).start()
+
+        get_dma(slot, i).wait()
+        # the write issued two iterations ago reused this dbuf slot
+        @pl.when(j >= 2)
+        def _():
+            put_dma(slot, i + 2).wait()
+
+        off = chunk_off(i)
+        g = buf[slot]                                # [K, C_pad]
         dx = g[:, 0:1] - px
         dy = g[:, 1:2] - py
         ca, cb, cc = g[:, 2:3], g[:, 3:4], g[:, 4:5]
@@ -254,15 +353,15 @@ def _bwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm, gpix_ref,
         alpha = jnp.where(mask, araw, 0.0)
         log1m = jnp.log1p(-alpha)
         # T before splat k from the chunk-end transmittance
-        revcum = jnp.flip(jnp.cumsum(jnp.flip(log1m, 0), axis=0), 0)
+        revcum = _mm(triu_inc, log1m, ((1,), (0,)))
         t_before = tend[...] * jnp.exp(-revcum)      # [K, P]
         w = jnp.where(mask, alpha * t_before, 0.0)
 
-        # u_k = (chans_k . masked pixel grads)  -> [K, P] MXU
-        u = jax.lax.dot_general(ch, gpix_a, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        # u_k = (slab_k . masked pixel grads)  -> [K, P] MXU (geom lanes are
+        # masked out of gpix_a so they do not contribute)
+        u = _mm(g, gpix_a, ((1,), (1,)))
         m = w * u
-        s_within = jnp.flip(jnp.cumsum(jnp.flip(m, 0), axis=0), 0) - m
+        s_within = _mm(triu_str, m, ((1,), (0,)))
         s_carry = (jnp.sum(suffix[...] * gpix_a, axis=1)[None, :]
                    + d_ft * finalt_row)              # [1, P]
         one_minus = 1.0 - alpha
@@ -277,95 +376,95 @@ def _bwd_kernel(starts_ref, counts_ref, geom_hbm, chans_hbm, gpix_ref,
         d_cb = jnp.sum(-dx * dy * dl_dpow, axis=1)
         d_cc = jnp.sum(-0.5 * dy * dy * dl_dpow, axis=1)
         zeros_k = jnp.zeros_like(d_x)
-        dgeom_buf[...] = jnp.stack(
+
+        # d slab channels = W @ gpix (gpix geom lanes are zero, so the matmul
+        # leaves lanes 0:8 zero); then overwrite lanes 0:8 with geom grads.
+        dbuf[slot] = _mm(w, gpix, ((1,), (0,)))
+        dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
             [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k], axis=1)
+        put_dma(slot, i).start()
 
-        # d chans = W @ gpix (full channels; alpha-coupling handled above)
-        dchan_buf[...] = jax.lax.dot_general(
-            w, gpix, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-        wr_g = pltpu.make_async_copy(
-            dgeom_buf, dgeom_hbm.at[pl.ds(off, k_chunk), :], osems.at[0])
-        wr_c = pltpu.make_async_copy(
-            dchan_buf, dchans_hbm.at[pl.ds(off, k_chunk), :], osems.at[1])
-        wr_g.start()
-        wr_c.start()
-
-        # suffix += sum_k w_k * chans_k  -> [P, C]
-        suffix[...] += jax.lax.dot_general(
-            w, ch, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # suffix += sum_k w_k * slab_k  -> [P, C]
+        suffix[...] += _mm(w, g, ((0,), (0,)))
         tend[...] = tend[...] * jnp.exp(-jnp.sum(log1m, axis=0,
                                                  keepdims=True))
-        wr_g.wait()
-        wr_c.wait()
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
+    # settle the last (up to two) in-flight writes
+    @pl.when(n_chunks >= 2)
+    def _():
+        put_dma(jax.lax.rem(n_chunks - 2, 2), 1).wait()
 
-def backward(starts, counts, geom, chans, gpix, g_finalt, finalt, ncontrib,
+    @pl.when(n_chunks >= 1)
+    def _():
+        put_dma(jax.lax.rem(n_chunks - 1, 2), 0).wait()
+
+
+def backward(starts, counts, slab, gpix, g_finalt, finalt, ncontrib,
              alpha_mask, grid: TileGrid, *, k_chunk: int = 64,
              interpret: bool = False):
-    """Backward kernel: per-instance gradients.
+    """Backward kernel: per-instance gradients in slab layout.
 
-    gpix [T,P,C_pad] cotangent on out channels; g_finalt [T,P] cotangent on
-    final_T; alpha_mask [1,C_pad] selects channels that couple into
-    dL/dalpha (rgb+depth, + features when feature_alpha_grad).
-    Returns (d_geom [L,8], d_chans [L,C_pad]) per-instance grads.
+    gpix [T,P,C_pad] cotangent on out channels (geom lanes zero); g_finalt
+    [T,P] cotangent on final_T; alpha_mask [1,C_pad] selects channels that
+    couple into dL/dalpha (rgb+depth, + features when feature_alpha_grad).
+    Returns d_slab [L,C_pad]: lanes 0:6 = (d_x, d_y, d_conic*, d_opacity),
+    lanes CH_OFF.. = channel grads.
     """
     t_tiles = grid.num_tiles
     p = grid.pixels_per_tile
-    l_cap, c_pad = geom.shape[0], chans.shape[1]
+    l_cap, c_pad = slab.shape
 
     kernel = functools.partial(
         _bwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
-        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, interpret=interpret)
+        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # geom
-            pl.BlockSpec(memory_space=pltpu.ANY),   # chans
+            pl.BlockSpec(memory_space=pl.ANY),      # slab
             pl.BlockSpec((1, p, c_pad), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # gpix
-            pl.BlockSpec((1, p), lambda t, s, c: (t, 0),
+            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # g_finalt
-            pl.BlockSpec((1, p), lambda t, s, c: (t, 0),
+            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # finalt
-            pl.BlockSpec((1, p), lambda t, s, c: (t, 0),
+            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),  # ncontrib
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha_mask [1,C]
+            pl.BlockSpec(memory_space=pl.ANY),      # dinit (aliased out)
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # d_geom
-            pl.BlockSpec(memory_space=pltpu.ANY),   # d_chans
+            pl.BlockSpec(memory_space=pl.ANY),      # d_slab
         ],
         scratch_shapes=[
-            pltpu.VMEM((k_chunk, 8), jnp.float32),
-            pltpu.VMEM((k_chunk, c_pad), jnp.float32),
-            pltpu.VMEM((k_chunk, 8), jnp.float32),
-            pltpu.VMEM((k_chunk, c_pad), jnp.float32),
+            pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
+            pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
             pltpu.VMEM((p, c_pad), jnp.float32),
             pltpu.VMEM((1, p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    d_geom, d_chans = pl.pallas_call(
+    # d_slab rows in chunks skipped by the ncontrib bound must read as zero
+    # downstream; alias a zero-filled input as the output's initial contents.
+    dinit = jnp.zeros((l_cap, c_pad), jnp.float32)
+    (d_slab,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((l_cap, 8), jnp.float32),
             jax.ShapeDtypeStruct((l_cap, c_pad), jnp.float32),
         ],
         interpret=interpret,
+        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, geom, chans, gpix, g_finalt, finalt, ncontrib,
-      alpha_mask)
-    return d_geom, d_chans
+    )(starts, counts, slab, gpix,
+      g_finalt.reshape(t_tiles, 1, p), finalt.reshape(t_tiles, 1, p),
+      ncontrib.reshape(t_tiles, 1, p), alpha_mask, dinit)
+    return d_slab
 
 
 # ---------------------------------------------------------------------------
@@ -380,102 +479,132 @@ class PallasCompositeOutput(NamedTuple):
     n_contrib: jnp.ndarray  # [T, P] int32
 
 
-def pack_instances(gid_sorted, total, xy, conic, opacity, rgb, feat, depth,
-                   k_chunk: int):
-    """Gather per-Gaussian data into (tile,depth)-ordered instance slabs.
+def align_tile_segments(starts, counts, gid_sorted, tile_sorted,
+                        k_chunk: int):
+    """Repack the sorted instance list so every tile segment starts at a
+    multiple of k_chunk.
 
-    Returns (geom [L,8], chans [L,C_pad], seg_ids [L]) with L a multiple of
-    k_chunk; note BinningResult.gid_sorted already has length
-    instance_capacity (>= total + one chunk given the config contract
-    checked in composite_pallas). seg_ids route invalid slots to a dropped
-    segment (index N).
+    The HBM slab is (8,128)-tiled, so the kernels' chunk DMAs need provably
+    8-aligned row offsets; aligning each tile's segment to the chunk size
+    makes every ``start + i*k_chunk`` offset exact (asserted via
+    pl.multiple_of).
+
+    A sorted slot s in tile t (the j-th entry of its segment) moves to
+    ``astart[t] + j = s + (astart[t] - start[t])``, so the repack is one
+    [T]-table gather by the already-computed tile_sorted plus one scatter —
+    L-length gathers/scatters cost ~1.5ms each at 256K slots on v5e, so
+    shaving passes here matters.
+
+    Returns (aligned_starts [T], gid_aligned [L] with -1 in pad slots).
+    """
+    l_cap = gid_sorted.shape[0]
+    padded = ((counts + k_chunk - 1) // k_chunk) * k_chunk
+    astarts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    # sentinel tile (invalid slots) -> shift past the end -> dropped
+    delta = jnp.concatenate(
+        [astarts - starts, jnp.full((1,), l_cap, jnp.int32)])
+    dst = jnp.arange(l_cap, dtype=jnp.int32) + delta[tile_sorted]
+    gid_aligned = jnp.full((l_cap,), -1, jnp.int32).at[dst].set(
+        gid_sorted, mode="drop")
+    return astarts, gid_aligned
+
+
+def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
+    """Gather per-Gaussian data into the (tile,depth)-ordered instance slab.
+
+    gid_aligned [L] holds the owning Gaussian per slot, -1 for pad slots
+    (L = instance_capacity). seg_ids route pad slots to a dropped segment
+    (index N) for the backward segment-sum.
     """
     n = xy.shape[0]
-    l_cap = gid_sorted.shape[0]
     f_dim = feat.shape[-1]
-    c_pad = _ceil_to(3 + 1 + f_dim, LANE)
+    c_pad = slab_width(f_dim)
 
-    g = gid_sorted
-    slot_valid = jnp.arange(l_cap, dtype=jnp.int32) < total
-    geom = jnp.concatenate([
-        xy[g], conic[g], opacity[g][:, None],
-        jnp.zeros((l_cap, 2), xy.dtype)], axis=1)
-    chans = jnp.concatenate([
-        rgb[g], depth[g][:, None], feat[g],
-        jnp.zeros((l_cap, c_pad - 4 - f_dim), xy.dtype)], axis=1)
-    # zero-out invalid slots (defensive; kernels also mask by count)
-    geom = jnp.where(slot_valid[:, None], geom, 0.0)
-    chans = jnp.where(slot_valid[:, None], chans, 0.0)
-    seg_ids = jnp.where(slot_valid, g, n)
-    return geom, chans, seg_ids
+    # Build one [N+1, C_pad] per-Gaussian table (concat at N rows is cheap)
+    # and do a single row gather at slab length; row N is all-zero and
+    # absorbs pad slots, so no extra masking pass over the slab is needed.
+    table = jnp.concatenate([
+        xy, conic, opacity[:, None],
+        jnp.zeros((n, GEOM_LANES - 6), xy.dtype),
+        rgb, depth[:, None], feat,
+        jnp.zeros((n, c_pad - FEAT_OFF - f_dim), xy.dtype)], axis=1)
+    table = jnp.concatenate([table, jnp.zeros((1, c_pad), xy.dtype)], axis=0)
+    seg_ids = jnp.where(gid_aligned >= 0, gid_aligned, n)
+    slab = table[seg_ids]
+    return slab, seg_ids
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
-def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
+def composite_pallas(tile_starts, tile_counts, sorted_ids, total,
                      xy, conic, opacity, rgbfeat, depth,
                      grid: TileGrid, k_chunk: int, feature_alpha_grad: bool,
                      interpret: bool) -> PallasCompositeOutput:
     """Pallas-kernel compositing, drop-in parallel of composite.composite.
 
+    sorted_ids is (gid_sorted [L], tile_sorted [L]) from BinningResult;
     rgbfeat is (rgb [N,3], feat [N,F]) packed as a tuple to keep the
     differentiable argument list flat-friendly.
     """
-    out, _ = _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic,
+    out, _ = _cp_fwd(tile_starts, tile_counts, sorted_ids, total, xy, conic,
                      opacity, rgbfeat, depth, grid, k_chunk,
                      feature_alpha_grad, interpret)
     return out
 
 
-def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
+def _cp_fwd(tile_starts, tile_counts, sorted_ids, total, xy, conic, opacity,
             rgbfeat, depth, grid, k_chunk, feature_alpha_grad, interpret):
     rgb, feat = rgbfeat
+    gid_sorted, tile_sorted = sorted_ids
     f_dim = feat.shape[-1]
-    geom, chans, seg_ids = pack_instances(
-        gid_sorted, total, xy, conic, opacity, rgb, feat, depth, k_chunk)
+    astarts, gid_aligned = align_tile_segments(
+        tile_starts, tile_counts, gid_sorted, tile_sorted, k_chunk)
+    slab, seg_ids = pack_instances(
+        gid_aligned, xy, conic, opacity, rgb, feat, depth)
     out, finalt, ncontrib = forward(
-        tile_starts, tile_counts, geom, chans, grid, k_chunk=k_chunk,
+        astarts, tile_counts, slab, grid, k_chunk=k_chunk,
         interpret=interpret)
-    res = (tile_starts, tile_counts, geom, chans, seg_ids, finalt, ncontrib,
+    res = (astarts, tile_counts, slab, seg_ids, finalt, ncontrib,
            xy.shape[0], f_dim)
     return PallasCompositeOutput(
-        color=out[:, :, 0:3], feature=out[:, :, 4:4 + f_dim],
-        depth=out[:, :, 3], final_T=finalt, n_contrib=ncontrib), res
+        color=out[:, :, CH_OFF:CH_OFF + 3],
+        feature=out[:, :, FEAT_OFF:FEAT_OFF + f_dim],
+        depth=out[:, :, CH_OFF + 3], final_T=finalt,
+        n_contrib=ncontrib), res
 
 
 def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
-    (tile_starts, tile_counts, geom, chans, seg_ids, finalt, ncontrib,
+    (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
      n, f_dim) = res
     d_color, d_feature, d_depth, d_finalt, _d_nc = cts
-    c_pad = chans.shape[1]
+    c_pad = slab.shape[1]
     t_tiles, p = finalt.shape
 
     gpix = jnp.zeros((t_tiles, p, c_pad), jnp.float32)
-    gpix = gpix.at[:, :, 0:3].set(d_color)
-    gpix = gpix.at[:, :, 3].set(d_depth)
-    gpix = gpix.at[:, :, 4:4 + f_dim].set(d_feature)
+    gpix = gpix.at[:, :, CH_OFF:CH_OFF + 3].set(d_color)
+    gpix = gpix.at[:, :, CH_OFF + 3].set(d_depth)
+    gpix = gpix.at[:, :, FEAT_OFF:FEAT_OFF + f_dim].set(d_feature)
 
     amask = np.zeros((1, c_pad), np.float32)
-    amask[0, 0:4] = 1.0
+    amask[0, CH_OFF:CH_OFF + 4] = 1.0
     if feature_alpha_grad:
-        amask[0, 4:4 + f_dim] = 1.0
+        amask[0, FEAT_OFF:FEAT_OFF + f_dim] = 1.0
 
-    d_geom, d_chans = backward(
-        tile_starts, tile_counts, geom, chans, gpix, d_finalt, finalt,
+    d_slab = backward(
+        tile_starts, tile_counts, slab, gpix, d_finalt, finalt,
         ncontrib, jnp.asarray(amask), grid, k_chunk=k_chunk,
         interpret=interpret)
 
     # per-instance -> per-Gaussian (the atomicAdd/all-reduce analog)
-    dg = jax.ops.segment_sum(d_geom, seg_ids, num_segments=n + 1)[:n]
-    dc = jax.ops.segment_sum(d_chans, seg_ids, num_segments=n + 1)[:n]
+    dg = jax.ops.segment_sum(d_slab, seg_ids, num_segments=n + 1)[:n]
     d_xy = dg[:, 0:2]
     d_conic = dg[:, 2:5]
     d_op = dg[:, 5]
-    d_rgb = dc[:, 0:3]
-    d_depth_g = dc[:, 3]
-    d_feat = dc[:, 4:4 + f_dim]
+    d_rgb = dg[:, CH_OFF:CH_OFF + 3]
+    d_depth_g = dg[:, CH_OFF + 3]
+    d_feat = dg[:, FEAT_OFF:FEAT_OFF + f_dim]
 
     zi = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
-    return (zi(tile_starts), zi(tile_counts), zi(seg_ids),
+    return (zi(tile_starts), zi(tile_counts), (zi(seg_ids), zi(seg_ids)),
             zi(jnp.int32(0)), d_xy, d_conic, d_op, (d_rgb, d_feat), d_depth_g)
 
 

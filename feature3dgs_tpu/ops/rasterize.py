@@ -145,20 +145,25 @@ def rasterize(
         # before binning so they cost no compositing work.
         valid = valid & active_mask
 
-    bins = binning_lib.bin_gaussians(
-        jax.lax.stop_gradient(rect_min), jax.lax.stop_gradient(rect_max),
-        jax.lax.stop_gradient(pre.depth), jax.lax.stop_gradient(valid), grid,
-        instance_capacity=config.instance_capacity,
-        tile_capacity=config.tile_capacity)
-
     backend = config.backend
     if backend == "auto":
         platform = jax.devices()[0].platform
         backend = "pallas" if platform in ("tpu", "axon") else "xla"
+
+    bins = binning_lib.bin_gaussians(
+        jax.lax.stop_gradient(rect_min), jax.lax.stop_gradient(rect_max),
+        jax.lax.stop_gradient(pre.depth), jax.lax.stop_gradient(valid), grid,
+        instance_capacity=config.instance_capacity,
+        tile_capacity=config.tile_capacity,
+        # the padded per-tile index matrix is only consumed by the XLA
+        # compositor; the pallas path reads the flat sorted list directly
+        build_tile_lists=backend not in ("pallas", "pallas_interpret"))
+
     if backend in ("pallas", "pallas_interpret"):
         from feature3dgs_tpu.ops import pallas_raster
         out = pallas_raster.composite_pallas(
-            bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
+            bins.tile_starts, bins.tile_counts,
+            (bins.gid_sorted, bins.tile_sorted), bins.total,
             xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
             pre.depth, grid, max(config.chunk, 8), config.feature_alpha_grad,
             config.backend == "pallas_interpret")
