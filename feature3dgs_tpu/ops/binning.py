@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class TileGrid(NamedTuple):
@@ -80,6 +81,7 @@ def bin_gaussians(
     instance_capacity: int,
     tile_capacity: int,
     build_tile_lists: bool = True,
+    segment_align: int = 8,
 ) -> BinningResult:
     """Build depth-sorted per-tile Gaussian lists.
 
@@ -141,14 +143,48 @@ def bin_gaussians(
     tile_key = jnp.where(slot_valid, tile_id, sentinel_tile)
     depth_key = jnp.where(slot_valid, gathered[:, 4], jnp.float32(jnp.inf))
 
-    tile_sorted, _, gid_sorted = jax.lax.sort(
-        (tile_key, depth_key, gid), num_keys=2, is_stable=True)
-
-    # Per-tile ranges (identifyTileRanges analog): histogram + exclusive
-    # cumsum; the sentinel tile id falls off the end via mode="drop".
+    # Per-tile true counts (identifyTileRanges analog): histogram over the
+    # unsorted keys; the sentinel tile id falls off the end via mode="drop".
     counts = jnp.zeros((grid.num_tiles,), jnp.int32).at[tile_key].add(
         1, mode="drop")
-    starts = jnp.cumsum(counts) - counts
+
+    # Segment alignment: inject up to (segment_align-1) filler entries per
+    # tile with depth=+inf so the stable sort lands them at each segment's
+    # END, padding every segment length to a multiple of segment_align.
+    # This makes tile starts provably aligned for the Pallas kernels' HBM
+    # chunk DMAs (the slab is (8,128)-tiled) with NO post-sort repack pass —
+    # an L-length gather + scatter at 1M slots costs ~12ms on v5e, while
+    # sorting T*(align-1) extra elements is ~2% more sort work.
+    a = segment_align
+    gid_signed = jnp.where(slot_valid, gid, jnp.int32(-1))
+    if a > 1:
+        t_tiles = grid.num_tiles
+        pad_needed = (-counts) % a                         # [T] in [0, a)
+        # static filler lattice, length padded so the final sorted array
+        # stays a multiple of the HBM row-tile (and of large chunk sizes)
+        n_fill = -(-(t_tiles * (a - 1)) // 1024) * 1024
+        f_idx = np.arange(n_fill)
+        f_tile = jnp.asarray(
+            np.minimum(f_idx // (a - 1), t_tiles - 1).astype(np.int32))
+        f_j = jnp.asarray((f_idx % (a - 1)).astype(np.int32))
+        f_valid = ((f_j < pad_needed[f_tile])
+                   & jnp.asarray(f_idx < t_tiles * (a - 1)))
+        f_key = jnp.where(f_valid, f_tile, jnp.int32(t_tiles))
+        tile_key_all = jnp.concatenate([tile_key, f_key])
+        depth_key_all = jnp.concatenate([
+            depth_key, jnp.full((n_fill,), jnp.inf, jnp.float32)])
+        gid_all = jnp.concatenate([
+            gid_signed, jnp.full((n_fill,), -1, jnp.int32)])
+        padded_counts = counts + pad_needed
+    else:
+        tile_key_all, depth_key_all, gid_all = tile_key, depth_key, gid_signed
+        padded_counts = counts
+
+    tile_sorted, _, gid_sorted = jax.lax.sort(
+        (tile_key_all, depth_key_all, gid_all), num_keys=2, is_stable=True)
+
+    # Aligned exclusive-cumsum starts (segments include their fillers).
+    starts = jnp.cumsum(padded_counts) - padded_counts
 
     tile_lists = None
     if build_tile_lists:
@@ -156,7 +192,7 @@ def bin_gaussians(
         lane = jnp.arange(tile_capacity, dtype=jnp.int32)
         pos = starts[:, None] + lane[None, :]
         in_range = lane[None, :] < jnp.minimum(counts, tile_capacity)[:, None]
-        pos = jnp.clip(pos, 0, max(instance_capacity - 1, 0))
+        pos = jnp.clip(pos, 0, gid_sorted.shape[0] - 1)
         tile_lists = jnp.where(in_range, gid_sorted[pos], jnp.int32(-1))
 
     return BinningResult(

@@ -100,143 +100,157 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm,
                 out_ref, finalt_ref, ncontrib_ref,
                 buf, acc, tcar, live, ncon, sems,
                 *, k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
+                c_pad: int, l_cap: int, tiles_per_program: int):
+    prog = pl.program_id(0)
     p = tile_w * tile_h
-
-    # pixel lattice of this tile (row-major, y outer) on the lane axis
-    tile_x = jax.lax.rem(t, grid_x)
-    tile_y = jax.lax.div(t, grid_x)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
-    py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
-
-    acc[...] = jnp.zeros_like(acc)
-    tcar[...] = jnp.ones_like(tcar)
-    live[...] = jnp.ones_like(live)
-    ncon[...] = jnp.zeros_like(ncon)
-
-    n_chunks = pl.cdiv(count, k_chunk)
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     tril = _tri(k_chunk, "lower_inc")
 
-    def get_dma(slot, i):
-        # start is k_chunk-aligned (align_tile_segments) and l_cap is a
-        # multiple of k_chunk, so the min() keeps alignment; it only binds
-        # on tile-list overflow past the slab end (splat-drop policy).
-        off = pl.multiple_of(
-            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), k_chunk)
-        return pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(off, k_chunk), :], buf.at[slot],
-            sems.at[slot])
+    # Several tiles per program: per-program fixed costs (scratch init, out
+    # block pipeline, grid bookkeeping) measured ~3.2us each on v5e — at one
+    # 16x16 tile per program that is over half the kernel's runtime.
+    for g in range(tiles_per_program):
+        t = prog * tiles_per_program + g
+        start = starts_ref[t]
+        count = counts_ref[t]
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+        # pixel lattice of this tile (row-major, y outer) on the lane axis
+        tile_x = jax.lax.rem(t, grid_x)
+        tile_y = jax.lax.div(t, grid_x)
+        px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
+        py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
-    def cond(state):
-        i, alive = state
-        return (i < n_chunks) & alive
+        acc[...] = jnp.zeros_like(acc)
+        tcar[...] = jnp.ones_like(tcar)
+        live[...] = jnp.ones_like(live)
+        ncon[...] = jnp.zeros_like(ncon)
 
-    def chunk_body(state):
-        i, _ = state
-        slot = jax.lax.rem(i, 2)
+        n_chunks = pl.cdiv(count, k_chunk)
 
-        # double buffering: next chunk's DMA rides under this chunk's compute
-        @pl.when(i + 1 < n_chunks)
+        def get_dma(slot, i, start=start):
+            # start is 8-aligned (binning injects per-tile fillers) and
+            # l_cap is a multiple of 8, so the min() keeps the (8,128) HBM
+            # row-tiling alignment; it only binds on tile-list overflow past
+            # the slab end (splat-drop policy).
+            off = pl.multiple_of(
+                jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
+            return pltpu.make_async_copy(
+                slab_hbm.at[pl.ds(off, k_chunk), :], buf.at[slot],
+                sems.at[slot])
+
+        @pl.when(n_chunks > 0)
         def _():
-            get_dma(1 - slot, i + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(slot, i).wait()
+        def cond(state):
+            i, alive = state
+            return (i < n_chunks) & alive
 
-        off = pl.multiple_of(
-            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), k_chunk)
-        g = buf[slot]                          # [K, C_pad]
-        dx = g[:, 0:1] - px                    # [K, P]
-        dy = g[:, 1:2] - py
-        ca, cb, cc = g[:, 2:3], g[:, 3:4], g[:, 4:5]
-        op = g[:, 5:6]
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        araw = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-        # tail masking: absolute index (start + i*K + k) must be < start+count
-        # (off may have been clamped back from the end of the slab)
-        abs_k = off + krow
-        in_count = abs_k < start + count
-        ok = (power <= 0.0) & (araw >= ALPHA_MIN) & in_count
-        alpha = jnp.where(ok, araw, 0.0)
-        log1m = jnp.log1p(-alpha)
-        cum = _mm(tril, log1m, ((1,), (0,)))
-        t_in = tcar[...]                        # [1, P]
-        t_after = t_in * jnp.exp(cum)
-        t_before = t_in * jnp.exp(cum - log1m)
-        lv = live[...] > 0.0
-        mask = ok & (t_after >= T_EPS) & lv
-        w = jnp.where(mask, alpha * t_before, 0.0)
+        def chunk_body(state, start=start, count=count, px=px, py=py,
+                       n_chunks=n_chunks):
+            i, _ = state
+            slot = jax.lax.rem(i, 2)
 
-        # [P,K]x[K,C]: color+depth+all features in one MXU pass (geom lanes
-        # accumulate dead values inside the same lane tile — free)
-        acc[...] += _mm(w, g, ((0,), (0,)))
+            # double buffering: next chunk's DMA rides under this compute
+            @pl.when(i + 1 < n_chunks)
+            def _():
+                get_dma(1 - slot, i + 1).start()
 
-        tcar[...] = t_in * jnp.exp(
-            jnp.sum(jnp.where(mask, log1m, 0.0), axis=0, keepdims=True))
-        terminated = jnp.any(ok & (t_after < T_EPS) & lv, axis=0,
-                             keepdims=True)
-        live[...] = jnp.where(terminated, 0.0, live[...])
-        pos = abs_k - start + 1                 # 1-based position in list
-        ncon[...] = jnp.maximum(
-            ncon[...], jnp.max(jnp.where(mask, pos, 0), axis=0,
-                               keepdims=True))
-        # early exit once every pixel's transmittance hit the floor (the
-        # reference's per-pixel done flag, forward.cu:354-359, tile-level)
-        return i + 1, jnp.sum(live[...]) > 0.0
+            get_dma(slot, i).wait()
 
-    i_exit, _ = jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), True))
+            off = pl.multiple_of(
+                jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
+            gg = buf[slot]                         # [K, C_pad]
+            dx = gg[:, 0:1] - px                   # [K, P]
+            dy = gg[:, 1:2] - py
+            ca, cb, cc = gg[:, 2:3], gg[:, 3:4], gg[:, 4:5]
+            op = gg[:, 5:6]
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            araw = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            # tail masking: absolute index start + i*K + k must be <
+            # start+count (off may have been clamped back from the slab end)
+            abs_k = off + krow
+            in_count = abs_k < start + count
+            ok = (power <= 0.0) & (araw >= ALPHA_MIN) & in_count
+            alpha = jnp.where(ok, araw, 0.0)
+            log1m = jnp.log1p(-alpha)
+            cum = _mm(tril, log1m, ((1,), (0,)))
+            t_in = tcar[...]                        # [1, P]
+            t_after = t_in * jnp.exp(cum)
+            t_before = t_in * jnp.exp(cum - log1m)
+            lv = live[...] > 0.0
+            mask = ok & (t_after >= T_EPS) & lv
+            w = jnp.where(mask, alpha * t_before, 0.0)
 
-    # an early exit leaves chunk i_exit's prefetch in flight; settle it so
-    # the semaphore is clean for the next grid step
-    @pl.when((i_exit > 0) & (i_exit < n_chunks))
-    def _():
-        get_dma(jax.lax.rem(i_exit, 2), i_exit).wait()
+            # [P,K]x[K,C]: color+depth+all features in one MXU pass (geom
+            # lanes accumulate dead values inside the same lane tile — free)
+            acc[...] += _mm(w, gg, ((0,), (0,)))
 
-    out_ref[0] = acc[...]
-    # finalt/ncontrib are (T, 1, P) so their (1, 1, P) blocks satisfy the TPU
-    # tiling rule (second-to-minor block dim must equal the array dim or be a
-    # multiple of 8); ref[0] is the (1, P) plane.
-    finalt_ref[0] = tcar[...]
-    ncontrib_ref[0] = ncon[...]
+            tcar[...] = t_in * jnp.exp(
+                jnp.sum(jnp.where(mask, log1m, 0.0), axis=0, keepdims=True))
+            terminated = jnp.any(ok & (t_after < T_EPS) & lv, axis=0,
+                                 keepdims=True)
+            live[...] = jnp.where(terminated, 0.0, live[...])
+            pos = abs_k - start + 1               # 1-based position in list
+            ncon[...] = jnp.maximum(
+                ncon[...], jnp.max(jnp.where(mask, pos, 0), axis=0,
+                                   keepdims=True))
+            # early exit once every pixel's transmittance hit the floor (the
+            # reference's per-pixel done flag, forward.cu:354-359, tile-level)
+            return i + 1, jnp.sum(live[...]) > 0.0
+
+        i_exit, _ = jax.lax.while_loop(cond, chunk_body, (jnp.int32(0), True))
+
+        # an early exit leaves chunk i_exit's prefetch in flight; settle it
+        # so the semaphore is clean for the next tile
+        @pl.when((i_exit > 0) & (i_exit < n_chunks))
+        def _(i_exit=i_exit, n_chunks=n_chunks):
+            get_dma(jax.lax.rem(i_exit, 2), i_exit).wait()
+
+        out_ref[g] = acc[...]
+        # finalt/ncontrib are (T, 1, P) so their (G, 1, P) blocks satisfy the
+        # TPU tiling rule (second-to-minor block dim equals the array dim).
+        finalt_ref[g] = tcar[...]
+        ncontrib_ref[g] = ncon[...]
 
 
 def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
-            interpret: bool = False):
+            interpret: bool = False, tiles_per_program: int = 8):
     """Run the forward compositing kernel.
 
     Args: starts/counts [T] int32; slab [L, C_pad] f32 with C_pad a multiple
-    of 128 and L a multiple of k_chunk.
+    of 128 and L a multiple of 8.
     Returns (out [T,P,C_pad], final_T [T,P], n_contrib [T,P]).
     """
     t_tiles = grid.num_tiles
     p = grid.pixels_per_tile
     l_cap, c_pad = slab.shape
-    assert l_cap % k_chunk == 0 and c_pad % LANE == 0
+    assert l_cap % 8 == 0 and c_pad % LANE == 0 and k_chunk % 8 == 0
+
+    tpp = max(1, tiles_per_program)
+    t_pad = _ceil_to(t_tiles, tpp)
+    if t_pad != t_tiles:
+        zpad = jnp.zeros((t_pad - t_tiles,), jnp.int32)
+        starts = jnp.concatenate([starts, zpad])
+        counts = jnp.concatenate([counts, zpad])
 
     kernel = functools.partial(
         _fwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
-        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap)
+        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, tiles_per_program=tpp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t_tiles,),
+        grid=(t_pad // tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, p, c_pad), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((tpp, p, c_pad), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -252,13 +266,14 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t_tiles, p, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((t_tiles, 1, p), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, p, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.int32),
         ],
         interpret=interpret,
     )(starts, counts, slab)
-    return out, finalt.reshape(t_tiles, p), ncontrib.reshape(t_tiles, p)
+    return (out[:t_tiles], finalt.reshape(t_pad, p)[:t_tiles],
+            ncontrib.reshape(t_pad, p)[:t_tiles])
 
 
 # ---------------------------------------------------------------------------
@@ -306,7 +321,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
 
     def chunk_off(i):
         return pl.multiple_of(
-            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), k_chunk)
+            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(
@@ -317,6 +332,33 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
         return pltpu.make_async_copy(
             dbuf.at[slot], dslab_hbm.at[pl.ds(chunk_off(i), k_chunk), :],
             osems.at[slot])
+
+    # Tile segments are 8-aligned but not k_chunk-aligned, so the deepest
+    # chunk's window can overhang into the NEXT tile's segment. Writing that
+    # overhang would race with the owning program's writes; the deepest
+    # chunk (processed first, j == 0) therefore writes in 8-row units
+    # clipped to the rows this tile owns (its padded segment length).
+    seg_len = ((count + 7) // 8) * 8
+
+    def put_tail_units(i):
+        owned = seg_len - i * k_chunk            # rows of this window owned
+        base = chunk_off(i)
+
+        def unit(u):
+            return pltpu.make_async_copy(
+                dbuf.at[0, pl.ds(u * 8, 8), :],
+                dslab_hbm.at[pl.ds(base + u * 8, 8), :],
+                osems.at[0])
+
+        # start every owned unit, then wait — completions overlap
+        for u in range(k_chunk // 8):
+            @pl.when(u * 8 < owned)
+            def _():
+                unit(u).start()
+        for u in range(k_chunk // 8):
+            @pl.when(u * 8 < owned)
+            def _():
+                unit(u).wait()
 
     @pl.when(n_chunks > 0)
     def _():
@@ -332,7 +374,8 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
 
         get_dma(slot, i).wait()
         # the write issued two iterations ago reused this dbuf slot
-        @pl.when(j >= 2)
+        # (iteration j-2 == 0 used synchronous tail units — nothing pending)
+        @pl.when(j >= 3)
         def _():
             put_dma(slot, i + 2).wait()
 
@@ -382,7 +425,14 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
         dbuf[slot] = _mm(w, gpix, ((1,), (0,)))
         dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
             [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k], axis=1)
-        put_dma(slot, i).start()
+
+        @pl.when(j == 0)
+        def _():
+            put_tail_units(i)
+
+        @pl.when(j > 0)
+        def _():
+            put_dma(slot, i).start()
 
         # suffix += sum_k w_k * slab_k  -> [P, C]
         suffix[...] += _mm(w, g, ((0,), (0,)))
@@ -392,12 +442,13 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    # settle the last (up to two) in-flight writes
-    @pl.when(n_chunks >= 2)
+    # settle the last (up to two) in-flight async writes (iteration j == 0
+    # wrote synchronously, hence the >= 3 / >= 2 thresholds)
+    @pl.when(n_chunks >= 3)
     def _():
         put_dma(jax.lax.rem(n_chunks - 2, 2), 1).wait()
 
-    @pl.when(n_chunks >= 1)
+    @pl.when(n_chunks >= 2)
     def _():
         put_dma(jax.lax.rem(n_chunks - 1, 2), 0).wait()
 
@@ -479,36 +530,6 @@ class PallasCompositeOutput(NamedTuple):
     n_contrib: jnp.ndarray  # [T, P] int32
 
 
-def align_tile_segments(starts, counts, gid_sorted, tile_sorted,
-                        k_chunk: int):
-    """Repack the sorted instance list so every tile segment starts at a
-    multiple of k_chunk.
-
-    The HBM slab is (8,128)-tiled, so the kernels' chunk DMAs need provably
-    8-aligned row offsets; aligning each tile's segment to the chunk size
-    makes every ``start + i*k_chunk`` offset exact (asserted via
-    pl.multiple_of).
-
-    A sorted slot s in tile t (the j-th entry of its segment) moves to
-    ``astart[t] + j = s + (astart[t] - start[t])``, so the repack is one
-    [T]-table gather by the already-computed tile_sorted plus one scatter —
-    L-length gathers/scatters cost ~1.5ms each at 256K slots on v5e, so
-    shaving passes here matters.
-
-    Returns (aligned_starts [T], gid_aligned [L] with -1 in pad slots).
-    """
-    l_cap = gid_sorted.shape[0]
-    padded = ((counts + k_chunk - 1) // k_chunk) * k_chunk
-    astarts = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    # sentinel tile (invalid slots) -> shift past the end -> dropped
-    delta = jnp.concatenate(
-        [astarts - starts, jnp.full((1,), l_cap, jnp.int32)])
-    dst = jnp.arange(l_cap, dtype=jnp.int32) + delta[tile_sorted]
-    gid_aligned = jnp.full((l_cap,), -1, jnp.int32).at[dst].set(
-        gid_sorted, mode="drop")
-    return astarts, gid_aligned
-
-
 def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
     """Gather per-Gaussian data into the (tile,depth)-ordered instance slab.
 
@@ -535,35 +556,33 @@ def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
-def composite_pallas(tile_starts, tile_counts, sorted_ids, total,
+def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
                      xy, conic, opacity, rgbfeat, depth,
                      grid: TileGrid, k_chunk: int, feature_alpha_grad: bool,
                      interpret: bool) -> PallasCompositeOutput:
     """Pallas-kernel compositing, drop-in parallel of composite.composite.
 
-    sorted_ids is (gid_sorted [L], tile_sorted [L]) from BinningResult;
-    rgbfeat is (rgb [N,3], feat [N,F]) packed as a tuple to keep the
-    differentiable argument list flat-friendly.
+    gid_sorted is BinningResult.gid_sorted (8-aligned segments with -1
+    fillers baked in by the binning sort); tile_starts must be the matching
+    aligned starts. rgbfeat is (rgb [N,3], feat [N,F]) packed as a tuple to
+    keep the differentiable argument list flat-friendly.
     """
-    out, _ = _cp_fwd(tile_starts, tile_counts, sorted_ids, total, xy, conic,
+    out, _ = _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic,
                      opacity, rgbfeat, depth, grid, k_chunk,
                      feature_alpha_grad, interpret)
     return out
 
 
-def _cp_fwd(tile_starts, tile_counts, sorted_ids, total, xy, conic, opacity,
+def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
             rgbfeat, depth, grid, k_chunk, feature_alpha_grad, interpret):
     rgb, feat = rgbfeat
-    gid_sorted, tile_sorted = sorted_ids
     f_dim = feat.shape[-1]
-    astarts, gid_aligned = align_tile_segments(
-        tile_starts, tile_counts, gid_sorted, tile_sorted, k_chunk)
     slab, seg_ids = pack_instances(
-        gid_aligned, xy, conic, opacity, rgb, feat, depth)
+        gid_sorted, xy, conic, opacity, rgb, feat, depth)
     out, finalt, ncontrib = forward(
-        astarts, tile_counts, slab, grid, k_chunk=k_chunk,
+        tile_starts, tile_counts, slab, grid, k_chunk=k_chunk,
         interpret=interpret)
-    res = (astarts, tile_counts, slab, seg_ids, finalt, ncontrib,
+    res = (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
            xy.shape[0], f_dim)
     return PallasCompositeOutput(
         color=out[:, :, CH_OFF:CH_OFF + 3],
@@ -604,7 +623,7 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
     d_feat = dg[:, FEAT_OFF:FEAT_OFF + f_dim]
 
     zi = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
-    return (zi(tile_starts), zi(tile_counts), (zi(seg_ids), zi(seg_ids)),
+    return (zi(tile_starts), zi(tile_counts), zi(seg_ids),
             zi(jnp.int32(0)), d_xy, d_conic, d_op, (d_rgb, d_feat), d_depth_g)
 
 

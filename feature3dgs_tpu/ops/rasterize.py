@@ -162,8 +162,7 @@ def rasterize(
     if backend in ("pallas", "pallas_interpret"):
         from feature3dgs_tpu.ops import pallas_raster
         out = pallas_raster.composite_pallas(
-            bins.tile_starts, bins.tile_counts,
-            (bins.gid_sorted, bins.tile_sorted), bins.total,
+            bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
             xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
             pre.depth, grid, max(config.chunk, 8), config.feature_alpha_grad,
             config.backend == "pallas_interpret")

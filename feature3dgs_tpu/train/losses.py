@@ -41,23 +41,50 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return np.outer(g, g)
 
 
-def _depthwise_conv2d(img: jnp.ndarray, kernel: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """img [H,W,C], kernel [kh,kw] applied per channel with zero padding."""
-    c = img.shape[-1]
-    x = img[None].transpose(0, 3, 1, 2)  # NCHW
-    k = jnp.broadcast_to(kernel[None, None], (c, 1, *kernel.shape))
-    y = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
-        feature_group_count=c)
-    return y[0].transpose(1, 2, 0)
+# MXU passes for the separable image operators: HIGH = 3-pass bf16 (~1e-6
+# relative error at test sizes, ~5e-5 at 1-Mpix x 128ch — well inside the
+# reference's own atomicAdd nondeterminism) at ~2.8x the speed of the exact
+# 6-pass HIGHEST. Flip to HIGHEST for bit-tight debugging.
+SEPARABLE_PRECISION = jax.lax.Precision.HIGH
+
+
+def _apply_separable(img: jnp.ndarray, my, mx) -> jnp.ndarray:
+    """Apply per-axis [out,in] operators to an HWC image as two plain 2-D
+    matmuls (+ cheap transposes).
+
+    Depthwise convs and gathers don't map to the MXU on TPU; banded dense
+    operators do, and their VJPs are transposed matmuls."""
+    h, w, c = img.shape
+    o, p = my.shape[0], mx.shape[0]
+    pr = SEPARABLE_PRECISION
+    a = jnp.matmul(my, img.reshape(h, w * c), precision=pr).reshape(o, w, c)
+    b = a.transpose(1, 0, 2).reshape(w, o * c)
+    d = jnp.matmul(mx, b, precision=pr).reshape(p, o, c).transpose(1, 0, 2)
+    return d
+
+
+@functools.lru_cache(maxsize=8)
+def _conv1d_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """Dense banded [n,n] operator for a zero-padded 1-D gaussian blur."""
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma ** 2))
+    g = (g / g.sum()).astype(np.float64)
+    m = np.zeros((n, n), np.float32)
+    half = window_size // 2
+    for k in range(window_size):
+        off = k - half
+        diag = np.arange(max(0, -off), min(n, n - off))
+        m[diag, diag + off] += g[k]
+    return m
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over an HWC image pair (loss_utils.py:33-63)."""
-    win = jnp.asarray(_gaussian_window(window_size, sigma))
-    pad = window_size // 2
-    conv = lambda x: _depthwise_conv2d(x, win, pad)
+    h, w = img1.shape[:2]
+    by = jnp.asarray(_conv1d_matrix(h, window_size, sigma))
+    bx = jnp.asarray(_conv1d_matrix(w, window_size, sigma))
+    conv = lambda x: _apply_separable(x, by, bx)
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     s1 = conv(img1 * img1) - mu1_sq
@@ -75,30 +102,38 @@ def tv_loss(feature_map: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(dx ** 2) + jnp.sum(dy ** 2)
 
 
+@functools.lru_cache(maxsize=32)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Dense [n_out, n_in] 1-D linear interpolation operator,
+    align_corners=True convention (2 nonzeros per row)."""
+    m = np.zeros((n_out, n_in), np.float32)
+    if n_out == 1:
+        m[0, 0] = 1.0
+        return m
+    ys = np.arange(n_out, dtype=np.float64) * ((n_in - 1) / (n_out - 1))
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, n_in - 1)
+    y1 = np.minimum(y0 + 1, n_in - 1)
+    wy = (ys - y0).astype(np.float32)
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, y0), 1.0 - wy)
+    np.add.at(m, (rows, y1), wy)
+    return m
+
+
 def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """HWC bilinear resize with align_corners=True semantics
     (torch F.interpolate mode='bilinear', align_corners=True; train.py:101).
-    jax.image.resize implements the half-pixel convention, so this is done
-    explicitly with gathered corner blends."""
+
+    Implemented as two separable interpolation matmuls: gather-based corner
+    blends lower to per-element gathers (and scatter-adds in the VJP) on
+    TPU, ~20x slower at 1-Mpix x 128-channel scale; the dense banded
+    operators ride the MXU and differentiate as transposed matmuls."""
     h, w = img.shape[:2]
     if (h, w) == (out_h, out_w):
         return img
-
-    def coords(n_in, n_out):
-        if n_out == 1:
-            return jnp.zeros((1,), jnp.float32)
-        return jnp.arange(n_out, dtype=jnp.float32) * ((n_in - 1) / (n_out - 1))
-
-    ys, xs = coords(h, out_h), coords(w, out_w)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0.astype(jnp.float32))[:, None, None]
-    wx = (xs - x0.astype(jnp.float32))[None, :, None]
-    top = img[y0][:, x0] * (1 - wx) + img[y0][:, x1] * wx
-    bot = img[y1][:, x0] * (1 - wx) + img[y1][:, x1] * wx
-    return top * (1 - wy) + bot * wy
+    ry = jnp.asarray(_interp_matrix(h, out_h))
+    rx = jnp.asarray(_interp_matrix(w, out_w))
+    return _apply_separable(img, ry, rx)
 
 
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2):

@@ -48,7 +48,7 @@ def _run_both(g, pre, bins, feature_alpha_grad=False):
                     pre.conic, pre.opacity, pre.rgb, g["feat"], pre.depth,
                     CFG.chunk, "highest", feature_alpha_grad)
     pal = composite_pallas(bins.tile_starts, bins.tile_counts,
-                           (bins.gid_sorted, bins.tile_sorted), bins.total,
+                           bins.gid_sorted, bins.total,
                            pre.xy, pre.conic,
                            pre.opacity, (pre.rgb, g["feat"]), pre.depth,
                            GRID, 64, feature_alpha_grad, True)
@@ -89,8 +89,7 @@ def test_pallas_gradients_match_xla(fag):
         bins.tile_lists, tile_pixel_coords(GRID), xy, conic, op, rgb, feat,
         depth, CFG.chunk, "highest", fag)
     pal_fn = lambda xy, conic, op, rgb, feat, depth: composite_pallas(
-        bins.tile_starts, bins.tile_counts,
-        (bins.gid_sorted, bins.tile_sorted), bins.total,
+        bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
         xy, conic, op, (rgb, feat), depth, GRID, 64, fag, True)
 
     args = (pre.xy, pre.conic, pre.opacity, pre.rgb, g["feat"], pre.depth)
