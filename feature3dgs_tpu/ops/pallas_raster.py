@@ -3,22 +3,25 @@
 Design (vs the XLA-scan formulation in ops/composite.py, which remains the
 portable fallback and correctness oracle):
 
-  * The TPU kernel grid is one program per TILE, executed sequentially on
-    the TensorCore with pipelined DMA — so each tile walks only
-    ceil(count/K) chunks of ITS OWN depth-sorted list (dynamic fori_loop).
-    Total work is proportional to the true instance count; the XLA path
-    pays the padded tile capacity for every tile. This mirrors the role of
-    the CUDA per-tile blocks (forward.cu:261-396) under the TPU execution
-    model.
-  * Instance data is pre-gathered (one XLA take on the binning order) into
-    ONE packed, 128-lane-aligned slab per instance slot:
-      slab [L, C_pad] = | geom (8 lanes: x, y, conic_a, conic_b, conic_c,
-                          opacity, 0, 0) | rgb (3) | depth (1) | semantic
-                          features (F) | zero pad |
+  * The TPU kernel grid runs a few TILES per program, executed sequentially
+    on the TensorCore with pipelined DMA — each tile walks only
+    ceil(count/K) chunks of ITS OWN depth-sorted list. Total work is
+    proportional to the true instance count; the XLA path pays the padded
+    tile capacity for every tile. This mirrors the role of the CUDA
+    per-tile blocks (forward.cu:261-396) under the TPU execution model.
+  * Instance data is pre-gathered (one XLA row gather on the binning order)
+    into ONE packed, 128-lane-aligned slab per instance slot:
+      lanes 0:8    geom: x, y, conic_a, conic_b, conic_c, opacity, 0, 0
+      lanes 8:12   rgb (3) + depth (1)
+      lanes FO:..  semantic features, FO = 12 if they fit the first
+                   128-lane tile, else 128 (keeps the feature block
+                   lane-tile aligned so the feature cotangent feeds the
+                   backward kernel with ZERO copies — at 128-d features the
+                   gpix assembly passes cost ~12ms/step otherwise)
     so each chunk is a single aligned DMA, the per-chunk compute is [K, P]
     VPU math plus one [P,K]x[K,C] MXU matmul that accumulates color, depth
-    and all feature channels at once (the geom lanes ride along as dead
-    outputs inside the same 128-lane tile — zero marginal MXU cost).
+    and all feature channels at once (dead pad lanes ride along inside the
+    same lane tiles — zero marginal MXU cost).
   * Prefix/suffix scans over the chunk (transmittance products, dL/dalpha
     suffix sums) are triangular-matrix matmuls on the MXU — Mosaic has no
     cumsum lowering, and this is the idiomatic TPU form anyway.
@@ -51,8 +54,15 @@ from feature3dgs_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS
 LANE = 128
 # slab lane layout: geom fields first (8-aligned block), then channels
 GEOM_LANES = 8           # x, y, conic_a, conic_b, conic_c, opacity, 0, 0
-CH_OFF = GEOM_LANES      # rgb at CH_OFF..CH_OFF+2, depth at CH_OFF+3,
-FEAT_OFF = CH_OFF + 4    # features at FEAT_OFF..FEAT_OFF+F
+CH_OFF = GEOM_LANES      # rgb at CH_OFF..CH_OFF+2, depth at CH_OFF+3
+MISC_LANES = 12          # geom + rgb + depth
+
+
+def feat_offset(f_dim: int) -> int:
+    """Feature lane offset: keep everything in one 128-lane tile when it
+    fits; otherwise start features at lane 128 so the [T,P,F] cotangent is
+    exactly the kernel's feature gpix block (no assembly passes)."""
+    return MISC_LANES if MISC_LANES + f_dim <= LANE else LANE
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -60,7 +70,7 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def slab_width(f_dim: int) -> int:
-    return _ceil_to(FEAT_OFF + f_dim, LANE)
+    return _ceil_to(feat_offset(f_dim) + f_dim, LANE)
 
 
 def _tri(k: int, kind: str):
@@ -96,11 +106,17 @@ def _mm(a, b, contract):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, counts_ref, slab_hbm,
-                out_ref, finalt_ref, ncontrib_ref,
-                buf, acc, tcar, live, ncon, sems,
-                *, k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int, tiles_per_program: int):
+def _fwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
+                k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
+                c_pad: int, l_cap: int, tiles_per_program: int,
+                split: bool):
+    if split:
+        (out_misc_ref, out_feat_ref, finalt_ref, ncontrib_ref,
+         buf, acc, tcar, live, ncon, sems) = refs
+    else:
+        (out_misc_ref, finalt_ref, ncontrib_ref,
+         buf, acc, tcar, live, ncon, sems) = refs
+        out_feat_ref = None
     prog = pl.program_id(0)
     p = tile_w * tile_h
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
@@ -183,8 +199,8 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm,
             mask = ok & (t_after >= T_EPS) & lv
             w = jnp.where(mask, alpha * t_before, 0.0)
 
-            # [P,K]x[K,C]: color+depth+all features in one MXU pass (geom
-            # lanes accumulate dead values inside the same lane tile — free)
+            # [P,K]x[K,C]: color+depth+all features in one MXU pass (dead
+            # pad lanes accumulate inside the same lane tiles — free)
             acc[...] += _mm(w, gg, ((0,), (0,)))
 
             tcar[...] = t_in * jnp.exp(
@@ -208,7 +224,11 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm,
         def _(i_exit=i_exit, n_chunks=n_chunks):
             get_dma(jax.lax.rem(i_exit, 2), i_exit).wait()
 
-        out_ref[g] = acc[...]
+        if split:
+            out_misc_ref[g] = acc[:, 0:LANE]
+            out_feat_ref[g] = acc[:, LANE:]
+        else:
+            out_misc_ref[g] = acc[...]
         # finalt/ncontrib are (T, 1, P) so their (G, 1, P) blocks satisfy the
         # TPU tiling rule (second-to-minor block dim equals the array dim).
         finalt_ref[g] = tcar[...]
@@ -221,12 +241,16 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 
     Args: starts/counts [T] int32; slab [L, C_pad] f32 with C_pad a multiple
     of 128 and L a multiple of 8.
-    Returns (out [T,P,C_pad], final_T [T,P], n_contrib [T,P]).
+    Returns (out_misc [T,P,128], out_feat [T,P,C_pad-128] or None,
+    final_T [T,P], n_contrib [T,P]); when C_pad == 128 everything lives in
+    out_misc and out_feat is None.
     """
     t_tiles = grid.num_tiles
     p = grid.pixels_per_tile
     l_cap, c_pad = slab.shape
     assert l_cap % 8 == 0 and c_pad % LANE == 0 and k_chunk % 8 == 0
+    split = c_pad > LANE
+    c_feat = c_pad - LANE
 
     tpp = max(1, tiles_per_program)
     t_pad = _ceil_to(t_tiles, tpp)
@@ -237,7 +261,31 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 
     kernel = functools.partial(
         _fwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
-        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, tiles_per_program=tpp)
+        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, tiles_per_program=tpp,
+        split=split)
+
+    out_specs = [
+        pl.BlockSpec((tpp, p, LANE if split else c_pad),
+                     lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((t_pad, p, LANE if split else c_pad),
+                                      jnp.float32)]
+    if split:
+        out_specs.append(
+            pl.BlockSpec((tpp, p, c_feat), lambda t, s, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((t_pad, p, c_feat), jnp.float32))
+    out_specs += [
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape += [
+        jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+        jax.ShapeDtypeStruct((t_pad, 1, p), jnp.int32),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -245,14 +293,7 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((tpp, p, c_pad), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
             pltpu.VMEM((p, c_pad), jnp.float32),
@@ -262,17 +303,20 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out, finalt, ncontrib = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((t_pad, p, c_pad), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(starts, counts, slab)
-    return (out[:t_tiles], finalt.reshape(t_pad, p)[:t_tiles],
+    if split:
+        out_misc, out_feat, finalt, ncontrib = outs
+        out_feat = out_feat[:t_tiles]
+    else:
+        out_misc, finalt, ncontrib = outs
+        out_feat = None
+    return (out_misc[:t_tiles], out_feat,
+            finalt.reshape(t_pad, p)[:t_tiles],
             ncontrib.reshape(t_pad, p)[:t_tiles])
 
 
@@ -280,12 +324,18 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
-                gft_ref, finalt_ref, ncontrib_ref, amask_ref, dinit_hbm,
-                dslab_hbm,
-                buf, dbuf, suffix, tend, sems, osems,
-                *, k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int):
+def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
+                k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
+                c_pad: int, l_cap: int, split: bool, fag: bool):
+    if split:
+        (gmisc_ref, gfeat_ref, gft_ref, finalt_ref, ncontrib_ref,
+         amask_ref, dinit_hbm, dslab_hbm,
+         buf, dbuf, suffix, tend, sems, osems) = refs
+    else:
+        (gmisc_ref, gft_ref, finalt_ref, ncontrib_ref,
+         amask_ref, dinit_hbm, dslab_hbm,
+         buf, dbuf, suffix, tend, sems, osems) = refs
+        gfeat_ref = None
     del dinit_hbm  # aliased zero-init of dslab_hbm; only its buffer is used
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -302,10 +352,11 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
     # g_finalt/finalt/ncontrib arrive as (T, 1, P); ref[0] is the (1, P) plane
     tend[...] = finalt_ref[0]
 
-    gpix = gpix_ref[0]          # [P, C_pad] pixel cotangents
+    gmisc = gmisc_ref[0]        # [P, 128] misc-lane pixel cotangents
+    gfeat = gfeat_ref[0] if split else None  # [P, C_feat]
     d_ft = gft_ref[0]           # [1, P] final_T cotangent
-    amask = amask_ref[...]      # [1, C_pad] alpha-coupling channel mask
-    gpix_a = gpix * amask       # masked pixel grads driving dL/dalpha
+    amask = amask_ref[...]      # [1, 128] alpha-coupling mask (misc lanes)
+    gmisc_a = gmisc * amask     # masked pixel grads driving dL/dalpha
     ncontrib = ncontrib_ref[0]  # [1, P]
 
     # Chunks past the deepest contributor carry zero gradient — skip them
@@ -400,13 +451,19 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
         t_before = tend[...] * jnp.exp(-revcum)      # [K, P]
         w = jnp.where(mask, alpha * t_before, 0.0)
 
-        # u_k = (slab_k . masked pixel grads)  -> [K, P] MXU (geom lanes are
-        # masked out of gpix_a so they do not contribute)
-        u = _mm(g, gpix_a, ((1,), (1,)))
+        # u_k = (slab_k . masked pixel grads)  -> [K, P] MXU; the feature
+        # half joins only under feature_alpha_grad (the reference disables
+        # that coupling, backward.cu:575 — skipping it statically saves a
+        # [K,C_feat]x[C_feat,P] matmul per chunk)
+        u = _mm(g[:, 0:LANE], gmisc_a, ((1,), (1,)))
+        if split and fag:
+            u += _mm(g[:, LANE:], gfeat, ((1,), (1,)))
         m = w * u
         s_within = _mm(triu_str, m, ((1,), (0,)))
-        s_carry = (jnp.sum(suffix[...] * gpix_a, axis=1)[None, :]
-                   + d_ft * finalt_row)              # [1, P]
+        s_carry_v = jnp.sum(suffix[:, 0:LANE] * gmisc_a, axis=1)
+        if split and fag:
+            s_carry_v += jnp.sum(suffix[:, LANE:] * gfeat, axis=1)
+        s_carry = s_carry_v[None, :] + d_ft * finalt_row   # [1, P]
         one_minus = 1.0 - alpha
         dl_da = jnp.where(
             mask, t_before * u - (s_within + s_carry) / one_minus, 0.0)
@@ -422,7 +479,9 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
 
         # d slab channels = W @ gpix (gpix geom lanes are zero, so the matmul
         # leaves lanes 0:8 zero); then overwrite lanes 0:8 with geom grads.
-        dbuf[slot] = _mm(w, gpix, ((1,), (0,)))
+        dbuf[slot, :, 0:LANE] = _mm(w, gmisc, ((1,), (0,)))
+        if split:
+            dbuf[slot, :, LANE:] = _mm(w, gfeat, ((1,), (0,)))
         dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
             [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k], axis=1)
 
@@ -453,41 +512,61 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, gpix_ref,
         put_dma(jax.lax.rem(n_chunks - 1, 2), 0).wait()
 
 
-def backward(starts, counts, slab, gpix, g_finalt, finalt, ncontrib,
-             alpha_mask, grid: TileGrid, *, k_chunk: int = 64,
-             interpret: bool = False):
+def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
+             ncontrib, alpha_mask, grid: TileGrid, *, k_chunk: int = 64,
+             feature_alpha_grad: bool = False, interpret: bool = False):
     """Backward kernel: per-instance gradients in slab layout.
 
-    gpix [T,P,C_pad] cotangent on out channels (geom lanes zero); g_finalt
-    [T,P] cotangent on final_T; alpha_mask [1,C_pad] selects channels that
-    couple into dL/dalpha (rgb+depth, + features when feature_alpha_grad).
+    gpix_misc [T,P,128] cotangent on the misc lanes (geom lanes zero, rgb at
+    8:11, depth at 11, plus small features at 12.. in the non-split layout);
+    gpix_feat [T,P,C_pad-128] feature cotangent (None when the slab is 128
+    lanes wide); g_finalt [T,P] cotangent on final_T; alpha_mask [1,128]
+    selects misc lanes that couple into dL/dalpha.
     Returns d_slab [L,C_pad]: lanes 0:6 = (d_x, d_y, d_conic*, d_opacity),
-    lanes CH_OFF.. = channel grads.
+    remaining lanes = channel grads in slab layout.
     """
     t_tiles = grid.num_tiles
     p = grid.pixels_per_tile
     l_cap, c_pad = slab.shape
+    split = c_pad > LANE
+    c_feat = c_pad - LANE
 
     kernel = functools.partial(
         _bwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
-        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap)
+        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, split=split,
+        fag=feature_alpha_grad)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # slab
+        pl.BlockSpec((1, p, LANE), lambda t, s, c: (t, 0, 0),
+                     memory_space=pltpu.VMEM),  # gpix_misc
+    ]
+    args = [starts, counts, slab, gpix_misc]
+    if split:
+        in_specs.append(
+            pl.BlockSpec((1, p, c_feat), lambda t, s, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM))  # gpix_feat
+        args.append(gpix_feat)
+    in_specs += [
+        pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+                     memory_space=pltpu.VMEM),  # g_finalt
+        pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+                     memory_space=pltpu.VMEM),  # finalt
+        pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+                     memory_space=pltpu.VMEM),  # ncontrib
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha_mask [1,128]
+        pl.BlockSpec(memory_space=pl.ANY),      # dinit (aliased out)
+    ]
+    # d_slab rows in chunks skipped by the ncontrib bound must read as zero
+    # downstream; alias a zero-filled input as the output's initial contents.
+    dinit = jnp.zeros((l_cap, c_pad), jnp.float32)
+    args += [g_finalt.reshape(t_tiles, 1, p), finalt.reshape(t_tiles, 1, p),
+             ncontrib.reshape(t_tiles, 1, p), alpha_mask, dinit]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # slab
-            pl.BlockSpec((1, p, c_pad), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # gpix
-            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # g_finalt
-            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # finalt
-            pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # ncontrib
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha_mask [1,C]
-            pl.BlockSpec(memory_space=pl.ANY),      # dinit (aliased out)
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # d_slab
         ],
@@ -500,9 +579,6 @@ def backward(starts, counts, slab, gpix, g_finalt, finalt, ncontrib,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # d_slab rows in chunks skipped by the ncontrib bound must read as zero
-    # downstream; alias a zero-filled input as the output's initial contents.
-    dinit = jnp.zeros((l_cap, c_pad), jnp.float32)
     (d_slab,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -510,11 +586,9 @@ def backward(starts, counts, slab, gpix, g_finalt, finalt, ncontrib,
             jax.ShapeDtypeStruct((l_cap, c_pad), jnp.float32),
         ],
         interpret=interpret,
-        input_output_aliases={8: 0},
+        input_output_aliases={len(args) - 1: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, slab, gpix,
-      g_finalt.reshape(t_tiles, 1, p), finalt.reshape(t_tiles, 1, p),
-      ncontrib.reshape(t_tiles, 1, p), alpha_mask, dinit)
+    )(*args)
     return d_slab
 
 
@@ -539,6 +613,7 @@ def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
     """
     n = xy.shape[0]
     f_dim = feat.shape[-1]
+    fo = feat_offset(f_dim)
     c_pad = slab_width(f_dim)
 
     # Build one [N+1, C_pad] per-Gaussian table (concat at N rows is cheap)
@@ -547,8 +622,10 @@ def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
     table = jnp.concatenate([
         xy, conic, opacity[:, None],
         jnp.zeros((n, GEOM_LANES - 6), xy.dtype),
-        rgb, depth[:, None], feat,
-        jnp.zeros((n, c_pad - FEAT_OFF - f_dim), xy.dtype)], axis=1)
+        rgb, depth[:, None],
+        jnp.zeros((n, fo - MISC_LANES), xy.dtype),
+        feat,
+        jnp.zeros((n, c_pad - fo - f_dim), xy.dtype)], axis=1)
     table = jnp.concatenate([table, jnp.zeros((1, c_pad), xy.dtype)], axis=0)
     seg_ids = jnp.where(gid_aligned >= 0, gid_aligned, n)
     slab = table[seg_ids]
@@ -577,17 +654,22 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
             rgbfeat, depth, grid, k_chunk, feature_alpha_grad, interpret):
     rgb, feat = rgbfeat
     f_dim = feat.shape[-1]
+    fo = feat_offset(f_dim)
     slab, seg_ids = pack_instances(
         gid_sorted, xy, conic, opacity, rgb, feat, depth)
-    out, finalt, ncontrib = forward(
+    out_misc, out_feat, finalt, ncontrib = forward(
         tile_starts, tile_counts, slab, grid, k_chunk=k_chunk,
         interpret=interpret)
     res = (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
            xy.shape[0], f_dim)
+    if out_feat is not None:
+        feature = out_feat[:, :, 0:f_dim]
+    else:
+        feature = out_misc[:, :, fo:fo + f_dim]
     return PallasCompositeOutput(
-        color=out[:, :, CH_OFF:CH_OFF + 3],
-        feature=out[:, :, FEAT_OFF:FEAT_OFF + f_dim],
-        depth=out[:, :, CH_OFF + 3], final_T=finalt,
+        color=out_misc[:, :, CH_OFF:CH_OFF + 3],
+        feature=feature,
+        depth=out_misc[:, :, CH_OFF + 3], final_T=finalt,
         n_contrib=ncontrib), res
 
 
@@ -596,22 +678,41 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
      n, f_dim) = res
     d_color, d_feature, d_depth, d_finalt, _d_nc = cts
     c_pad = slab.shape[1]
+    fo = feat_offset(f_dim)
+    split = c_pad > LANE
     t_tiles, p = finalt.shape
 
-    gpix = jnp.zeros((t_tiles, p, c_pad), jnp.float32)
-    gpix = gpix.at[:, :, CH_OFF:CH_OFF + 3].set(d_color)
-    gpix = gpix.at[:, :, CH_OFF + 3].set(d_depth)
-    gpix = gpix.at[:, :, FEAT_OFF:FEAT_OFF + f_dim].set(d_feature)
+    # Misc-lane cotangent block, assembled in ONE pass (dynamic-update-slice
+    # chains over [T,P,C] arrays cost ~12ms/step at 1Mpix). In the split
+    # layout the feature cotangent is passed through with no copy at all
+    # (or one pad when F < C_feat).
+    zeros8 = jnp.zeros((t_tiles, p, GEOM_LANES), jnp.float32)
+    if split:
+        gpix_misc = jnp.concatenate([
+            zeros8, d_color, d_depth[..., None],
+            jnp.zeros((t_tiles, p, LANE - MISC_LANES), jnp.float32)], axis=2)
+        c_feat = c_pad - LANE
+        if f_dim == c_feat:
+            gpix_feat = d_feature
+        else:
+            gpix_feat = jnp.concatenate([
+                d_feature,
+                jnp.zeros((t_tiles, p, c_feat - f_dim), jnp.float32)], axis=2)
+    else:
+        gpix_misc = jnp.concatenate([
+            zeros8, d_color, d_depth[..., None], d_feature,
+            jnp.zeros((t_tiles, p, c_pad - fo - f_dim), jnp.float32)], axis=2)
+        gpix_feat = None
 
-    amask = np.zeros((1, c_pad), np.float32)
+    amask = np.zeros((1, LANE), np.float32)
     amask[0, CH_OFF:CH_OFF + 4] = 1.0
-    if feature_alpha_grad:
-        amask[0, FEAT_OFF:FEAT_OFF + f_dim] = 1.0
+    if feature_alpha_grad and not split:
+        amask[0, fo:fo + f_dim] = 1.0
 
     d_slab = backward(
-        tile_starts, tile_counts, slab, gpix, d_finalt, finalt,
-        ncontrib, jnp.asarray(amask), grid, k_chunk=k_chunk,
-        interpret=interpret)
+        tile_starts, tile_counts, slab, gpix_misc, gpix_feat, d_finalt,
+        finalt, ncontrib, jnp.asarray(amask), grid, k_chunk=k_chunk,
+        feature_alpha_grad=feature_alpha_grad, interpret=interpret)
 
     # per-instance -> per-Gaussian (the atomicAdd/all-reduce analog)
     dg = jax.ops.segment_sum(d_slab, seg_ids, num_segments=n + 1)[:n]
@@ -620,7 +721,7 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
     d_op = dg[:, 5]
     d_rgb = dg[:, CH_OFF:CH_OFF + 3]
     d_depth_g = dg[:, CH_OFF + 3]
-    d_feat = dg[:, FEAT_OFF:FEAT_OFF + f_dim]
+    d_feat = dg[:, fo:fo + f_dim]
 
     zi = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
     return (zi(tile_starts), zi(tile_counts), zi(seg_ids),

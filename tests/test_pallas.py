@@ -101,6 +101,50 @@ def test_pallas_gradients_match_xla(fag):
                                    atol=5e-6, err_msg=f"grad {name} (fag={fag})")
 
 
+def test_pallas_split_feature_layout():
+    """F > 116 puts features at lane 128 (split outputs + zero-copy feature
+    cotangent); check forward and grads against the XLA composite."""
+    g = random_gaussians(n=120, f_dim=128, seed=4)
+    pre = proj_lib.preprocess(g["means3d"], g["opacities"], CAM,
+                              scales=g["scales"], rotations=g["rotations"],
+                              shs=g["shs"], sh_degree=2)
+    rect_min, rect_max = proj_lib.tile_rect(
+        pre.xy, pre.radius, GRID.grid_x, GRID.grid_y, GRID.tile_w, GRID.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    bins = binning_lib.bin_gaussians(
+        rect_min, rect_max, pre.depth, valid, GRID,
+        instance_capacity=CFG.instance_capacity,
+        tile_capacity=CFG.tile_capacity)
+    ref, pal = _run_both(g, pre, bins)
+    np.testing.assert_allclose(pal.color, ref.color, atol=1e-5)
+    np.testing.assert_allclose(pal.feature, ref.feature, atol=1e-5)
+    np.testing.assert_allclose(pal.final_T, ref.final_T, atol=1e-5)
+
+    rng = np.random.RandomState(1)
+    tf = jnp.asarray(rng.randn(GRID.num_tiles, 256, 128).astype(np.float32))
+
+    def loss_of(fn):
+        def loss(xy, op, feat):
+            o = fn(xy, op, feat)
+            return jnp.mean(jnp.abs(o.feature - tf)) + jnp.mean(o.color)
+        return loss
+
+    ref_fn = lambda xy, op, feat: composite(
+        bins.tile_lists, tile_pixel_coords(GRID), xy, pre.conic, op, pre.rgb,
+        feat, pre.depth, CFG.chunk, "highest", False)
+    pal_fn = lambda xy, op, feat: composite_pallas(
+        bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
+        xy, pre.conic, op, (pre.rgb, feat), pre.depth, GRID, 64, False, True)
+    args = (pre.xy, pre.opacity, g["feat"])
+    gr = jax.grad(loss_of(ref_fn), argnums=(0, 1, 2))(*args)
+    gp = jax.grad(loss_of(pal_fn), argnums=(0, 1, 2))(*args)
+    for name, a, b in zip(["xy", "op", "feat"], gp, gr):
+        s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-6, err_msg=f"split grad {name}")
+
+
 def test_rasterize_backend_interpret_end_to_end():
     from feature3dgs_tpu.ops import rasterize
     g = random_gaussians(n=150, f_dim=4, seed=3)
