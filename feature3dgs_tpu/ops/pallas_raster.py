@@ -93,13 +93,18 @@ def _tri(k: int, kind: str):
     return m.astype(jnp.float32)
 
 
-def _mm(a, b, contract):
-    # Exact-f32 MXU matmul: the scanned values are log-transmittances and
-    # pixel cotangents; bf16 passes would visibly bias exp() downstream.
+def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
     return jax.lax.dot_general(
         a, b, ((contract, ((), ()))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
+
+
+def _mmc(a, b, contract):
+    # Channel-accumulation matmuls: measured on v5e, dropping these to
+    # 3-pass bf16 saves only ~2ms/step at 1Mpix x 128f (the kernels are not
+    # MXU-bound) while costing gradient parity — keep exact f32.
+    return _mm(a, b, contract)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +206,7 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
 
             # [P,K]x[K,C]: color+depth+all features in one MXU pass (dead
             # pad lanes accumulate inside the same lane tiles — free)
-            acc[...] += _mm(w, gg, ((0,), (0,)))
+            acc[...] += _mmc(w, gg, ((0,), (0,)))
 
             tcar[...] = t_in * jnp.exp(
                 jnp.sum(jnp.where(mask, log1m, 0.0), axis=0, keepdims=True))
@@ -455,9 +460,9 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
         # half joins only under feature_alpha_grad (the reference disables
         # that coupling, backward.cu:575 — skipping it statically saves a
         # [K,C_feat]x[C_feat,P] matmul per chunk)
-        u = _mm(g[:, 0:LANE], gmisc_a, ((1,), (1,)))
+        u = _mmc(g[:, 0:LANE], gmisc_a, ((1,), (1,)))
         if split and fag:
-            u += _mm(g[:, LANE:], gfeat, ((1,), (1,)))
+            u += _mmc(g[:, LANE:], gfeat, ((1,), (1,)))
         m = w * u
         s_within = _mm(triu_str, m, ((1,), (0,)))
         s_carry_v = jnp.sum(suffix[:, 0:LANE] * gmisc_a, axis=1)
@@ -479,9 +484,9 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
 
         # d slab channels = W @ gpix (gpix geom lanes are zero, so the matmul
         # leaves lanes 0:8 zero); then overwrite lanes 0:8 with geom grads.
-        dbuf[slot, :, 0:LANE] = _mm(w, gmisc, ((1,), (0,)))
+        dbuf[slot, :, 0:LANE] = _mmc(w, gmisc, ((1,), (0,)))
         if split:
-            dbuf[slot, :, LANE:] = _mm(w, gfeat, ((1,), (0,)))
+            dbuf[slot, :, LANE:] = _mmc(w, gfeat, ((1,), (0,)))
         dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
             [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k], axis=1)
 
@@ -494,7 +499,7 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
             put_dma(slot, i).start()
 
         # suffix += sum_k w_k * slab_k  -> [P, C]
-        suffix[...] += _mm(w, g, ((0,), (0,)))
+        suffix[...] += _mmc(w, g, ((0,), (0,)))
         tend[...] = tend[...] * jnp.exp(-jnp.sum(log1m, axis=0,
                                                  keepdims=True))
         return 0
