@@ -49,7 +49,15 @@ class RasterConfig:
     tile_w: int = 16
     tile_h: int = 16
     chunk: int = 32
-    instance_capacity: int = 1 << 20
+    # 0 = auto (Trainer sizes it from the point count and grows on
+    # overflow; direct rasterize() callers get the 1<<20 fallback). Every
+    # XLA pass over the instance slab bills the STATIC capacity, so
+    # oversizing 2x costs ~20% step time at 1Mpix scale.
+    instance_capacity: int = 0
+
+    @property
+    def instance_capacity_or_default(self) -> int:
+        return self.instance_capacity or (1 << 20)
     tile_capacity: int = 1 << 12
     # MXU contraction precision for the compositing matmuls: 'highest' =
     # exact f32 (reference-gradient parity), 'default' = bf16 passes (faster).
@@ -153,7 +161,7 @@ def rasterize(
     bins = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(rect_min), jax.lax.stop_gradient(rect_max),
         jax.lax.stop_gradient(pre.depth), jax.lax.stop_gradient(valid), grid,
-        instance_capacity=config.instance_capacity,
+        instance_capacity=config.instance_capacity_or_default,
         tile_capacity=config.tile_capacity,
         # the padded per-tile index matrix is only consumed by the XLA
         # compositor; the pallas path reads the flat sorted list directly

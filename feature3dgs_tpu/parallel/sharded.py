@@ -94,7 +94,7 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
     bins = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(rect_min), jax.lax.stop_gradient(rect_max),
         jax.lax.stop_gradient(pre.depth), jax.lax.stop_gradient(valid), grid,
-        instance_capacity=config.instance_capacity,
+        instance_capacity=config.instance_capacity_or_default,
         tile_capacity=config.tile_capacity)
 
     pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)

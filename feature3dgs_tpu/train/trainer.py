@@ -154,6 +154,17 @@ class Trainer:
         self.feature_out_dim = feature_dim
 
         n = scene.points.shape[0]
+        # Right-size the instance bucket to the scene (instance_capacity==0
+        # means auto): freshly initialized Gaussians (KNN-scaled) touch
+        # ~1-6 tiles each; start at ~8N and let the overflow re-jit grow
+        # it. A static 1<<20 bucket on a 100K-point scene costs ~20% extra
+        # step time in slab-length XLA passes.
+        if not self.rcfg.instance_capacity:
+            auto_cap = _round_capacity(max(1 << 17, 8 * n))
+            self.rcfg = dataclasses.replace(
+                self.rcfg, instance_capacity=auto_cap)
+            print(f"[raster] auto instance capacity: {auto_cap} "
+                  f"(~8x {n} points; grows on overflow)")
         capacity = _round_capacity(int(n * capacity_headroom))
         params, gstate = G.create_from_pcd(
             scene.points, scene.colors, max_sh_degree=max_sh_degree,
