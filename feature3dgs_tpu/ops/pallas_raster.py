@@ -331,195 +331,246 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 
 def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
                 k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int, split: bool, fag: bool):
+                c_pad: int, l_cap: int, split: bool, fag: bool,
+                tiles_per_program: int):
     if split:
         (gmisc_ref, gfeat_ref, gft_ref, finalt_ref, ncontrib_ref,
          amask_ref, dinit_hbm, dslab_hbm,
-         buf, dbuf, suffix, tend, sems, osems) = refs
+         buf, dbuf, suffix, tend, sems, osems, tailsem) = refs
     else:
         (gmisc_ref, gft_ref, finalt_ref, ncontrib_ref,
          amask_ref, dinit_hbm, dslab_hbm,
-         buf, dbuf, suffix, tend, sems, osems) = refs
+         buf, dbuf, suffix, tend, sems, osems, tailsem) = refs
         gfeat_ref = None
     del dinit_hbm  # aliased zero-init of dslab_hbm; only its buffer is used
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
+    prog = pl.program_id(0)
     p = tile_w * tile_h
-
-    tile_x = jax.lax.rem(t, grid_x)
-    tile_y = jax.lax.div(t, grid_x)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
-    py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
-
-    suffix[...] = jnp.zeros_like(suffix)
-    # g_finalt/finalt/ncontrib arrive as (T, 1, P); ref[0] is the (1, P) plane
-    tend[...] = finalt_ref[0]
-
-    gmisc = gmisc_ref[0]        # [P, 128] misc-lane pixel cotangents
-    gfeat = gfeat_ref[0] if split else None  # [P, C_feat]
-    d_ft = gft_ref[0]           # [1, P] final_T cotangent
-    amask = amask_ref[...]      # [1, 128] alpha-coupling mask (misc lanes)
-    gmisc_a = gmisc * amask     # masked pixel grads driving dL/dalpha
-    ncontrib = ncontrib_ref[0]  # [1, P]
-
-    # Chunks past the deepest contributor carry zero gradient — skip them
-    # entirely (dslab is zero-initialized via the aliased input, so skipped
-    # rows stay zero for the segment-sum).
-    max_nc = jnp.max(ncontrib)
-    n_chunks = jnp.minimum(pl.cdiv(count, k_chunk),
-                           pl.cdiv(max_nc, k_chunk))
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
-    finalt_row = finalt_ref[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    amask = amask_ref[...]      # [1, 128] alpha-coupling mask (misc lanes)
     triu_inc = _tri(k_chunk, "upper_inc")
     triu_str = _tri(k_chunk, "upper_str")
 
-    def chunk_off(i):
-        return pl.multiple_of(
-            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
-
-    def get_dma(slot, i):
+    def tail_dma(v, base):
+        # exact-size tail write: `owned` is always a multiple of 8, so a
+        # (k_chunk/8)-way static-size switch writes the deepest chunk's
+        # owned rows with ONE DMA — per-8-row unit writes cost ~14 DMA
+        # issues/waits per tile and dominated the backward kernel
         return pltpu.make_async_copy(
-            slab_hbm.at[pl.ds(chunk_off(i), k_chunk), :], buf.at[slot],
-            sems.at[slot])
+            dbuf.at[0, pl.ds(0, v), :],
+            dslab_hbm.at[pl.ds(base, v), :],
+            tailsem)
 
-    def put_dma(slot, i):
-        return pltpu.make_async_copy(
-            dbuf.at[slot], dslab_hbm.at[pl.ds(chunk_off(i), k_chunk), :],
-            osems.at[slot])
+    # deferred tail wait: tile g's tail write completes under tile g+1's
+    # loads/compute; (owned, base) of the pending write are carried as
+    # python-level traced values within the program
+    pending = []  # [(owned, base)] at most one entry
 
-    # Tile segments are 8-aligned but not k_chunk-aligned, so the deepest
-    # chunk's window can overhang into the NEXT tile's segment. Writing that
-    # overhang would race with the owning program's writes; the deepest
-    # chunk (processed first, j == 0) therefore writes in 8-row units
-    # clipped to the rows this tile owns (its padded segment length).
-    seg_len = ((count + 7) // 8) * 8
+    def flush_tail():
+        if pending:
+            owned_p, base_p = pending.pop()
+            for v in range(8, k_chunk + 1, 8):
+                @pl.when(owned_p == v)
+                def _(v=v):
+                    tail_dma(v, base_p).wait()
 
-    def put_tail_units(i):
-        owned = seg_len - i * k_chunk            # rows of this window owned
-        base = chunk_off(i)
+    for g in range(tiles_per_program):
+        t = prog * tiles_per_program + g
+        start = starts_ref[t]
+        count = counts_ref[t]
 
-        def unit(u):
+        tile_x = jax.lax.rem(t, grid_x)
+        tile_y = jax.lax.div(t, grid_x)
+        px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
+        py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
+
+        suffix[...] = jnp.zeros_like(suffix)
+        # g_finalt/finalt/ncontrib arrive as (T,1,P); ref[g] is a (1,P) plane
+        tend[...] = finalt_ref[g]
+
+        gmisc = gmisc_ref[g]        # [P, 128] misc-lane pixel cotangents
+        gfeat = gfeat_ref[g] if split else None  # [P, C_feat]
+        d_ft = gft_ref[g]           # [1, P] final_T cotangent
+        gmisc_a = gmisc * amask     # masked pixel grads driving dL/dalpha
+        ncontrib = ncontrib_ref[g]  # [1, P]
+
+        # Chunks past the deepest contributor carry zero gradient — skip
+        # them entirely (dslab is zero-initialized via the aliased input, so
+        # skipped rows stay zero for the segment-sum).
+        max_nc = jnp.max(ncontrib)
+        n_chunks = jnp.minimum(pl.cdiv(count, k_chunk),
+                               pl.cdiv(max_nc, k_chunk))
+        finalt_row = finalt_ref[g]
+        seg_len = ((count + 7) // 8) * 8
+
+        def chunk_off(i, start=start):
+            return pl.multiple_of(
+                jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
+
+        def get_dma(slot, i):
             return pltpu.make_async_copy(
-                dbuf.at[0, pl.ds(u * 8, 8), :],
-                dslab_hbm.at[pl.ds(base + u * 8, 8), :],
-                osems.at[0])
+                slab_hbm.at[pl.ds(chunk_off(i), k_chunk), :], buf.at[slot],
+                sems.at[slot])
 
-        # start every owned unit, then wait — completions overlap
-        for u in range(k_chunk // 8):
-            @pl.when(u * 8 < owned)
+        def put_dma(slot, i):
+            return pltpu.make_async_copy(
+                dbuf.at[slot], dslab_hbm.at[pl.ds(chunk_off(i), k_chunk), :],
+                osems.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, n_chunks - 1).start()
+
+        def chunk_body(j, _, start=start, count=count, px=px, py=py,
+                       n_chunks=n_chunks, gmisc=gmisc, gfeat=gfeat,
+                       gmisc_a=gmisc_a, d_ft=d_ft, ncontrib=ncontrib,
+                       finalt_row=finalt_row, seg_len=seg_len,
+                       chunk_off=chunk_off, get_dma=get_dma,
+                       put_dma=put_dma):
+            i = n_chunks - 1 - j
+            slot = jax.lax.rem(j, 2)
+
+            @pl.when(j + 1 < n_chunks)
             def _():
-                unit(u).start()
-        for u in range(k_chunk // 8):
-            @pl.when(u * 8 < owned)
+                get_dma(1 - slot, i - 1).start()
+
+            get_dma(slot, i).wait()
+            # the write issued two iterations ago reused this dbuf slot;
+            # j == 2 must also settle j == 0's write before overwriting
+            # slot 0 — whole-chunk put or (for deep tiles) the tail DMA,
+            # whose cross-tile deferral is only safe when the tile has <= 2
+            # chunks
+            @pl.when((j >= 3)
+                     | ((j == 2) & (n_chunks * k_chunk <= seg_len)))
             def _():
-                unit(u).wait()
+                put_dma(slot, i + 2).wait()
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, n_chunks - 1).start()
+            @pl.when((j == 2) & (n_chunks * k_chunk > seg_len))
+            def _():
+                owned = seg_len - (n_chunks - 1) * k_chunk
+                base = chunk_off(n_chunks - 1)
+                for v in range(8, k_chunk + 1, 8):
+                    @pl.when(owned == v)
+                    def _(v=v):
+                        tail_dma(v, base).wait()
 
-    def chunk_body(j, _):
-        i = n_chunks - 1 - j
-        slot = jax.lax.rem(j, 2)
+            off = chunk_off(i)
+            gg = buf[slot]                               # [K, C_pad]
+            dx = gg[:, 0:1] - px
+            dy = gg[:, 1:2] - py
+            ca, cb, cc = gg[:, 2:3], gg[:, 3:4], gg[:, 4:5]
+            op = gg[:, 5:6]
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            gexp = jnp.exp(power)
+            araw = jnp.minimum(ALPHA_MAX, op * gexp)
+            abs_k = off + krow
+            in_count = abs_k < start + count
+            pos0 = abs_k - start                         # 0-based
+            ok = (power <= 0.0) & (araw >= ALPHA_MIN) & in_count
+            mask = ok & (pos0 < ncontrib)
+            alpha = jnp.where(mask, araw, 0.0)
+            log1m = jnp.log1p(-alpha)
+            # T before splat k from the chunk-end transmittance
+            revcum = _mm(triu_inc, log1m, ((1,), (0,)))
+            t_before = tend[...] * jnp.exp(-revcum)      # [K, P]
+            w = jnp.where(mask, alpha * t_before, 0.0)
 
-        @pl.when(j + 1 < n_chunks)
-        def _():
-            get_dma(1 - slot, i - 1).start()
+            # u_k = (slab_k . masked pixel grads) -> [K, P] MXU; the feature
+            # half joins only under feature_alpha_grad (the reference
+            # disables that coupling, backward.cu:575 — skipping it
+            # statically saves a [K,C_feat]x[C_feat,P] matmul per chunk)
+            u = _mmc(gg[:, 0:LANE], gmisc_a, ((1,), (1,)))
+            if split and fag:
+                u += _mmc(gg[:, LANE:], gfeat, ((1,), (1,)))
+            m = w * u
+            s_within = _mm(triu_str, m, ((1,), (0,)))
+            s_carry_v = jnp.sum(suffix[:, 0:LANE] * gmisc_a, axis=1)
+            if split and fag:
+                s_carry_v += jnp.sum(suffix[:, LANE:] * gfeat, axis=1)
+            s_carry = s_carry_v[None, :] + d_ft * finalt_row   # [1, P]
+            one_minus = 1.0 - alpha
+            dl_da = jnp.where(
+                mask, t_before * u - (s_within + s_carry) / one_minus, 0.0)
 
-        get_dma(slot, i).wait()
-        # the write issued two iterations ago reused this dbuf slot
-        # (iteration j-2 == 0 used synchronous tail units — nothing pending)
-        @pl.when(j >= 3)
-        def _():
-            put_dma(slot, i + 2).wait()
+            dl_dop = jnp.sum(jnp.where(mask, gexp * dl_da, 0.0), axis=1)
+            dl_dpow = jnp.where(mask, op * gexp * dl_da, 0.0)
+            d_x = jnp.sum(-(ca * dx + cb * dy) * dl_dpow, axis=1)
+            d_y = jnp.sum(-(cc * dy + cb * dx) * dl_dpow, axis=1)
+            d_ca = jnp.sum(-0.5 * dx * dx * dl_dpow, axis=1)
+            d_cb = jnp.sum(-dx * dy * dl_dpow, axis=1)
+            d_cc = jnp.sum(-0.5 * dy * dy * dl_dpow, axis=1)
+            zeros_k = jnp.zeros_like(d_x)
 
-        off = chunk_off(i)
-        g = buf[slot]                                # [K, C_pad]
-        dx = g[:, 0:1] - px
-        dy = g[:, 1:2] - py
-        ca, cb, cc = g[:, 2:3], g[:, 3:4], g[:, 4:5]
-        op = g[:, 5:6]
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        gexp = jnp.exp(power)
-        araw = jnp.minimum(ALPHA_MAX, op * gexp)
-        abs_k = off + krow
-        in_count = abs_k < start + count
-        pos0 = abs_k - start                         # 0-based
-        ok = (power <= 0.0) & (araw >= ALPHA_MIN) & in_count
-        mask = ok & (pos0 < ncontrib)
-        alpha = jnp.where(mask, araw, 0.0)
-        log1m = jnp.log1p(-alpha)
-        # T before splat k from the chunk-end transmittance
-        revcum = _mm(triu_inc, log1m, ((1,), (0,)))
-        t_before = tend[...] * jnp.exp(-revcum)      # [K, P]
-        w = jnp.where(mask, alpha * t_before, 0.0)
+            # d slab channels = W @ gpix (gpix geom lanes are zero, so the
+            # matmul leaves lanes 0:8 zero); then overwrite lanes 0:8 with
+            # the geometric grads.
+            dbuf[slot, :, 0:LANE] = _mmc(w, gmisc, ((1,), (0,)))
+            if split:
+                dbuf[slot, :, LANE:] = _mmc(w, gfeat, ((1,), (0,)))
+            dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
+                [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k],
+                axis=1)
 
-        # u_k = (slab_k . masked pixel grads)  -> [K, P] MXU; the feature
-        # half joins only under feature_alpha_grad (the reference disables
-        # that coupling, backward.cu:575 — skipping it statically saves a
-        # [K,C_feat]x[C_feat,P] matmul per chunk)
-        u = _mmc(g[:, 0:LANE], gmisc_a, ((1,), (1,)))
-        if split and fag:
-            u += _mmc(g[:, LANE:], gfeat, ((1,), (1,)))
-        m = w * u
-        s_within = _mm(triu_str, m, ((1,), (0,)))
-        s_carry_v = jnp.sum(suffix[:, 0:LANE] * gmisc_a, axis=1)
-        if split and fag:
-            s_carry_v += jnp.sum(suffix[:, LANE:] * gfeat, axis=1)
-        s_carry = s_carry_v[None, :] + d_ft * finalt_row   # [1, P]
-        one_minus = 1.0 - alpha
-        dl_da = jnp.where(
-            mask, t_before * u - (s_within + s_carry) / one_minus, 0.0)
+            # j == 0 is the deepest chunk: its window may overhang the next
+            # tile's segment rows, so write exactly the owned rows (one
+            # exact-size DMA via the static switch) and defer the wait
+            @pl.when((j == 0) & (n_chunks * k_chunk > seg_len))
+            def _():
+                owned = seg_len - (n_chunks - 1) * k_chunk
+                base = chunk_off(n_chunks - 1)
+                for v in range(8, k_chunk + 1, 8):
+                    @pl.when(owned == v)
+                    def _(v=v):
+                        tail_dma(v, base).start()
 
-        dl_dop = jnp.sum(jnp.where(mask, gexp * dl_da, 0.0), axis=1)
-        dl_dpow = jnp.where(mask, op * gexp * dl_da, 0.0)
-        d_x = jnp.sum(-(ca * dx + cb * dy) * dl_dpow, axis=1)
-        d_y = jnp.sum(-(cc * dy + cb * dx) * dl_dpow, axis=1)
-        d_ca = jnp.sum(-0.5 * dx * dx * dl_dpow, axis=1)
-        d_cb = jnp.sum(-dx * dy * dl_dpow, axis=1)
-        d_cc = jnp.sum(-0.5 * dy * dy * dl_dpow, axis=1)
-        zeros_k = jnp.zeros_like(d_x)
+            @pl.when((j == 0) & (n_chunks * k_chunk <= seg_len))
+            def _():
+                # fully-owned window: plain whole-chunk write
+                put_dma(slot, i).start()
 
-        # d slab channels = W @ gpix (gpix geom lanes are zero, so the matmul
-        # leaves lanes 0:8 zero); then overwrite lanes 0:8 with geom grads.
-        dbuf[slot, :, 0:LANE] = _mmc(w, gmisc, ((1,), (0,)))
-        if split:
-            dbuf[slot, :, LANE:] = _mmc(w, gfeat, ((1,), (0,)))
-        dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
-            [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k], axis=1)
+            @pl.when(j > 0)
+            def _():
+                put_dma(slot, i).start()
 
-        @pl.when(j == 0)
-        def _():
-            put_tail_units(i)
+            # suffix += sum_k w_k * slab_k  -> [P, C]
+            suffix[...] += _mmc(w, gg, ((0,), (0,)))
+            tend[...] = tend[...] * jnp.exp(-jnp.sum(log1m, axis=0,
+                                                     keepdims=True))
+            return 0
 
-        @pl.when(j > 0)
-        def _():
-            put_dma(slot, i).start()
+        # settle the previous tile's tail write before this tile's chunk 0
+        # overwrites dbuf slot 0 — inside fori_loop we cannot, so flush here
+        # (the DMA has had this tile's setup work to complete under)
+        flush_tail()
 
-        # suffix += sum_k w_k * slab_k  -> [P, C]
-        suffix[...] += _mmc(w, g, ((0,), (0,)))
-        tend[...] = tend[...] * jnp.exp(-jnp.sum(log1m, axis=0,
-                                                 keepdims=True))
-        return 0
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        # whole-chunk writes still in flight (tail-path waits are deferred)
+        @pl.when((n_chunks >= 3)
+                 | ((n_chunks == 2) & (2 * k_chunk <= seg_len)))
+        def _(put_dma=put_dma, n_chunks=n_chunks):
+            put_dma(jax.lax.rem(n_chunks - 2, 2), 1).wait()
 
-    # settle the last (up to two) in-flight async writes (iteration j == 0
-    # wrote synchronously, hence the >= 3 / >= 2 thresholds)
-    @pl.when(n_chunks >= 3)
-    def _():
-        put_dma(jax.lax.rem(n_chunks - 2, 2), 1).wait()
+        @pl.when((n_chunks >= 2)
+                 | ((n_chunks == 1) & (k_chunk <= seg_len)))
+        def _(put_dma=put_dma, n_chunks=n_chunks):
+            put_dma(jax.lax.rem(n_chunks - 1, 2), 0).wait()
 
-    @pl.when(n_chunks >= 2)
-    def _():
-        put_dma(jax.lax.rem(n_chunks - 1, 2), 0).wait()
+        # record this tile's pending tail (tail path taken AND not already
+        # settled by the in-loop j == 2 wait)
+        owned_g = seg_len - (jnp.maximum(n_chunks, 1) - 1) * k_chunk
+        took_tail = ((n_chunks >= 1) & (n_chunks <= 2)
+                     & (n_chunks * k_chunk > seg_len))
+        pending.append((jnp.where(took_tail, owned_g, 0),
+                        chunk_off(jnp.maximum(n_chunks, 1) - 1)))
+
+    flush_tail()
 
 
 def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
              ncontrib, alpha_mask, grid: TileGrid, *, k_chunk: int = 64,
-             feature_alpha_grad: bool = False, interpret: bool = False):
+             feature_alpha_grad: bool = False, interpret: bool = False,
+             tiles_per_program: int = 8):
     """Backward kernel: per-instance gradients in slab layout.
 
     gpix_misc [T,P,128] cotangent on the misc lanes (geom lanes zero, rgb at
@@ -536,28 +587,47 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
     split = c_pad > LANE
     c_feat = c_pad - LANE
 
+    tpp = max(1, tiles_per_program)
+    t_pad = _ceil_to(t_tiles, tpp)
+    if t_pad != t_tiles:
+        zpad = jnp.zeros((t_pad - t_tiles,), jnp.int32)
+        starts = jnp.concatenate([starts, zpad])
+        counts = jnp.concatenate([counts, zpad])
+        zpad3 = jnp.zeros((t_pad - t_tiles, p), gpix_misc.dtype)
+        gpix_misc = jnp.concatenate(
+            [gpix_misc, jnp.zeros((t_pad - t_tiles, p, LANE),
+                                  gpix_misc.dtype)])
+        if split:
+            gpix_feat = jnp.concatenate(
+                [gpix_feat, jnp.zeros((t_pad - t_tiles, p, c_feat),
+                                      gpix_feat.dtype)])
+        g_finalt = jnp.concatenate([g_finalt, zpad3])
+        finalt = jnp.concatenate([finalt, zpad3])
+        ncontrib = jnp.concatenate(
+            [ncontrib, jnp.zeros((t_pad - t_tiles, p), ncontrib.dtype)])
+
     kernel = functools.partial(
         _bwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
         tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, split=split,
-        fag=feature_alpha_grad)
+        fag=feature_alpha_grad, tiles_per_program=tpp)
 
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # slab
-        pl.BlockSpec((1, p, LANE), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, p, LANE), lambda t, s, c: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # gpix_misc
     ]
     args = [starts, counts, slab, gpix_misc]
     if split:
         in_specs.append(
-            pl.BlockSpec((1, p, c_feat), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((tpp, p, c_feat), lambda t, s, c: (t, 0, 0),
                          memory_space=pltpu.VMEM))  # gpix_feat
         args.append(gpix_feat)
     in_specs += [
-        pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # g_finalt
-        pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # finalt
-        pl.BlockSpec((1, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # ncontrib
         pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha_mask [1,128]
         pl.BlockSpec(memory_space=pl.ANY),      # dinit (aliased out)
@@ -565,12 +635,12 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
     # d_slab rows in chunks skipped by the ncontrib bound must read as zero
     # downstream; alias a zero-filled input as the output's initial contents.
     dinit = jnp.zeros((l_cap, c_pad), jnp.float32)
-    args += [g_finalt.reshape(t_tiles, 1, p), finalt.reshape(t_tiles, 1, p),
-             ncontrib.reshape(t_tiles, 1, p), alpha_mask, dinit]
+    args += [g_finalt.reshape(t_pad, 1, p), finalt.reshape(t_pad, 1, p),
+             ncontrib.reshape(t_pad, 1, p), alpha_mask, dinit]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(t_tiles,),
+        grid=(t_pad // tpp,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # d_slab
@@ -582,6 +652,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
             pltpu.VMEM((1, p), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     (d_slab,) = pl.pallas_call(
