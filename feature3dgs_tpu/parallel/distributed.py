@@ -1,0 +1,76 @@
+"""Multi-host initialization and mesh construction.
+
+The reference has no distributed support at all (SURVEY.md section 2.4:
+single hard-coded ``cuda:0``, no torch.distributed/NCCL anywhere). This
+module is the TPU-native communication backend for scaling past one host:
+
+  * ``jax.distributed.initialize()`` wires up the multi-host runtime (each
+    host sees only its local chips; collectives span all of them).
+  * The mesh places the ``data`` axis across HOSTS (camera batches are
+    host-local work whose gradient all-reduce crosses DCN once per step)
+    and the ``tile`` axis across the chips WITHIN a host, so the per-tile
+    gather/psum traffic of the sharded rasterizer rides ICI.
+  * Per-view teacher feature maps (100-200MB each, README.md:152) are
+    loaded host-locally for the cameras that host owns.
+
+Single-process multi-device (one host, N chips) needs no initialize() call;
+``make_host_chip_mesh`` degenerates to a (1, N) mesh.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Idempotent ``jax.distributed.initialize`` with env fallbacks.
+
+    On TPU pods the arguments are discovered automatically from the
+    metadata server; on other setups pass them or set
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs["coordinator_address"] = addr
+        kwargs["num_processes"] = int(
+            num_processes or os.environ["JAX_NUM_PROCESSES"])
+        kwargs["process_id"] = int(
+            process_id or os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        # single-process runs (tests, one-host dev) land here; multi-host
+        # misconfiguration should fail loudly
+        if addr or os.environ.get("JAX_NUM_PROCESSES"):
+            raise
+        if jax.process_count() == 1:
+            return
+        raise e
+
+
+def make_host_chip_mesh(axis_names=("data", "tile")) -> jax.sharding.Mesh:
+    """Mesh with hosts on the first axis and each host's local chips on the
+    second — dp gradient psum crosses DCN, tile-sharded render traffic
+    stays on ICI."""
+    n_hosts = jax.process_count()
+    devs = jax.devices()
+    per_host = len(devs) // n_hosts
+    # jax.devices() orders by process index, so a (hosts, per_host) reshape
+    # puts each row on one host's ICI domain
+    arr = np.asarray(devs).reshape(n_hosts, per_host)
+    return jax.sharding.Mesh(arr, tuple(axis_names))
+
+
+def local_camera_indices(num_cameras: int) -> list[int]:
+    """The camera subset this host loads (and whose feature maps it reads
+    from local disk): a contiguous stripe by process index."""
+    p, n = jax.process_index(), jax.process_count()
+    per = -(-num_cameras // n)
+    return list(range(p * per, min((p + 1) * per, num_cameras)))
