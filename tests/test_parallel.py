@@ -99,3 +99,27 @@ def test_sharded_train_step_matches_single_device_grads():
             np.asarray(getattr(new_params, name)),
             np.asarray(getattr(p_ref, name)), atol=5e-5,
             err_msg=f"sharded vs single param {name}")
+
+    # sharded densification: the mesh step's aux (psum'ed ndc grads, OR of
+    # visibility, max radii over views/shards) feeds the same functional
+    # density-control ops on every host — SURVEY.md 2.4 "sharded
+    # densify/prune". Verify visibility/radii parity with the single-device
+    # renders and that a densify pass on the sharded aux is well-formed.
+    from feature3dgs_tpu.model import density
+    vis_ref = np.zeros(params.capacity, bool)
+    rad_ref = np.zeros(params.capacity, np.float32)
+    for cam in cams:
+        out = renderer.render(params, state, cam, bg=bg, config=RCFG)
+        vis_ref |= np.asarray(out.visibility)
+        rad_ref = np.maximum(rad_ref, np.asarray(out.radii))
+    np.testing.assert_array_equal(np.asarray(aux["visibility"]), vis_ref)
+    np.testing.assert_allclose(np.asarray(aux["radii"]), rad_ref, atol=1e-4)
+
+    st2 = density.add_densification_stats(
+        state, aux["ndc_grad"], aux["visibility"], aux["radii"])
+    p2, st3, a2, rep = density.densify_and_prune(
+        new_params, st2, new_adam, jax.random.PRNGKey(0),
+        max_grad=1e-8, min_opacity=0.005, extent=4.0, percent_dense=0.01,
+        use_screen_size_prune=False)
+    assert p2.capacity == new_params.capacity  # static shapes preserved
+    assert int(st3.num_active) >= 0
