@@ -186,6 +186,7 @@ class Trainer:
         self.rng = random.Random(seed)
         self.key = jax.random.PRNGKey(seed)
         self.iteration = 0
+        self._nonfinite_streak = 0
         self._viewpoint_stack: list = []
         self._gt_cache: dict = {}
 
@@ -208,10 +209,29 @@ class Trainer:
         cam = camera if camera is not None else self.pick_camera()
         gt_image = self._device_cache(cam, "image")
         gt_feature = self._device_cache(cam, "feature")
+        prev_ts = self.ts
         self.ts, metrics = train_step(
             self.ts, cam.to_view(), gt_image, gt_feature, self.bg,
             jnp.int32(it), ocfg=self.ocfg, rcfg=self.rcfg,
             speedup=self.speedup, max_sh_degree=self.max_sh_degree)
+
+        # Failure detection (absent in the reference, SURVEY.md section 5):
+        # a non-finite loss poisons Adam moments and every later step —
+        # discard the update, keep training on the previous state, and
+        # abort after repeated consecutive blow-ups.
+        if sync:
+            loss_v = float(metrics["loss"])
+            if not np.isfinite(loss_v):
+                self._nonfinite_streak += 1
+                self.ts = prev_ts
+                print(f"[trainer] non-finite loss at iteration {it} "
+                      f"(streak {self._nonfinite_streak}); step discarded")
+                if self._nonfinite_streak >= 5:
+                    raise FloatingPointError(
+                        f"loss non-finite for {self._nonfinite_streak} "
+                        f"consecutive iterations (last={loss_v})")
+            else:
+                self._nonfinite_streak = 0
 
         o = self.ocfg
         if it < o.densify_until_iter:

@@ -97,3 +97,27 @@ def test_opacity_reset_in_loop(scene):
     op = np.asarray(jax.nn.sigmoid(tr.ts.params.opacity))
     alive = np.asarray(tr.ts.gstate.alive)
     assert np.all(op[alive] <= 0.0101)
+
+
+def test_nonfinite_loss_guard(scene):
+    """A blown-up step is discarded (params kept) and repeated blow-ups
+    abort — failure detection the reference lacks (SURVEY.md section 5)."""
+    import pytest
+    from feature3dgs_tpu.train.trainer import Trainer
+
+    tr = Trainer(scene, ocfg=OptimizationConfig(iterations=50),
+                 rcfg=RCFG, max_sh_degree=2,
+                 feature_dim=F_DIM, capacity_headroom=2.0)
+    tr.step()
+    good = tr.ts
+    # poison the colors so the next render produces NaNs (NaN positions
+    # would just get culled by the frustum test — by design)
+    tr.ts = tr.ts.replace(params=tr.ts.params.replace(
+        features_dc=tr.ts.params.features_dc * jnp.nan))
+    before = tr.ts
+    with pytest.raises(FloatingPointError):
+        for _ in range(6):
+            poisoned = tr.ts
+            tr.step()
+            # the update must have been discarded each time
+            assert tr.ts is poisoned
