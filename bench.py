@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 import json
 import math
+import os
 import time
 
 import numpy as np
@@ -81,27 +82,66 @@ def main():
 
     step_kwargs = dict(ocfg=ocfg, rcfg=rcfg, speedup=False, max_sh_degree=3)
 
-    # Timing methodology: the axon tunnel makes every *blocked* dispatch pay
-    # ~100ms of RPC, and unblocked chained dispatches can report fake-fast
-    # times. Chain ITERS dependent steps inside ONE jit via lax.scan and
-    # block once — the measured wall clock is then genuine device time.
-    def scan_steps(ts0, n):
-        def body(carry, it):
-            new_ts, metrics = train_step(carry, cam, gt_image, gt_feature,
-                                         bg, it, **step_kwargs)
-            return new_ts, metrics["loss"]
-        return jax.lax.scan(body, ts0, jnp.arange(1, n + 1, dtype=jnp.int32))
-
-    run = jax.jit(functools.partial(scan_steps, n=ITERS))
+    # Timing methodology (docs/tpu_notes.md): on the tunneled TPU, blocked
+    # dispatches pay ~100ms RPC, unblocked chains report fake-fast times,
+    # and lax.scan copies big loop buffers every iteration — so the
+    # authoritative step time is the top-level executable span from a
+    # jax.profiler device trace over a few independently-blocked steps
+    # (host RPC does not pollute device spans). Falls back to scan-chain
+    # wall timing if trace parsing ever breaks.
+    f = jax.jit(functools.partial(train_step, **step_kwargs))
     t0 = time.time()
-    ts2, losses = run(ts)
-    jax.block_until_ready(losses)
+    ts2, metrics = f(ts, cam, gt_image, gt_feature, bg, jnp.int32(1))
+    jax.block_until_ready(metrics["loss"])
     compile_s = time.time() - t0
 
-    t0 = time.time()
-    ts2, losses = run(ts)
-    jax.block_until_ready(losses)
-    dt = (time.time() - t0) / ITERS
+    def profiled_step_ms(n=3):
+        import glob
+        import gzip
+        import tempfile
+        d = tempfile.mkdtemp(prefix="benchtrace")
+        cur = ts2
+        with jax.profiler.trace(d):
+            for i in range(n):
+                cur, m = f(cur, cam, gt_image, gt_feature, bg,
+                           jnp.int32(i + 2))
+                jax.block_until_ready(m["loss"])
+        path = sorted(glob.glob(
+            os.path.join(d, "plugins/profile/*/*.trace.json.gz")))[-1]
+        with gzip.open(path) as fh:
+            tr = json.load(fh)
+        durs = sorted((e.get("dur", 0) for e in tr.get("traceEvents", [])
+                       if e.get("ph") == "X"
+                       and not e.get("name", "$").startswith("$")
+                       and "block" not in e.get("name", "")
+                       and "trace" not in e.get("name", "")),
+                      reverse=True)
+        # the n largest device events are the n executable spans
+        spans = durs[:n]
+        return float(np.median(spans)) / 1000.0, cur
+
+    method = "profiler"
+    try:
+        dt_ms, ts2 = profiled_step_ms()
+        dt = dt_ms / 1000.0
+    except Exception as e:  # trace format drift — fall back to scan timing
+        method = f"scan-fallback ({type(e).__name__})"
+
+        def scan_steps(ts0, n):
+            def body(carry, it):
+                new_ts, m = train_step(carry, cam, gt_image, gt_feature,
+                                       bg, it, **step_kwargs)
+                return new_ts, m["loss"]
+            return jax.lax.scan(body, ts0,
+                                jnp.arange(1, n + 1, dtype=jnp.int32))
+
+        run = jax.jit(functools.partial(scan_steps, n=ITERS))
+        ts3, losses = run(ts)
+        jax.block_until_ready(losses)
+        t0 = time.time()
+        ts3, losses = run(ts)
+        jax.block_until_ready(losses)
+        dt = (time.time() - t0) / ITERS
 
     # instance count for the detail line (one extra blocked call, untimed)
     _, metrics = train_step(ts2, cam, gt_image, gt_feature, bg,
@@ -115,6 +155,7 @@ def main():
         "vs_baseline": round(pix_s / REFERENCE_PIX_S, 4),
         "detail": {
             "step_ms": round(dt * 1000, 2),
+            "timing_method": method,
             "compile_s": round(compile_s, 1),
             "instances": int(metrics["num_instances"]),
             "image": [W, H], "n_gauss": N_GAUSS, "f_dim": F_DIM,
