@@ -187,6 +187,7 @@ class Trainer:
         self.key = jax.random.PRNGKey(seed)
         self.iteration = 0
         self._nonfinite_streak = 0
+        self._pending_maintenance = None
         self._viewpoint_stack: list = []
         self._gt_cache: dict = {}
 
@@ -201,6 +202,13 @@ class Trainer:
         """One training iteration. With sync=False the returned metrics are
         device arrays (no host blocking — steps pipeline through the
         dispatch queue; call float() on them only when logging)."""
+        # Density maintenance for the PREVIOUS iteration runs first: the
+        # reference saves the scene PLY BEFORE the same-iteration densify/
+        # opacity-reset (train.py:121-126 precede :129-140), so state
+        # observed between step() calls must be pre-maintenance — otherwise
+        # a model saved at an opacity_reset_interval boundary snapshots
+        # freshly-zeroed opacities (a near-transparent, PSNR-7 scene).
+        self.flush_maintenance()
         self.iteration += 1
         it = self.iteration
         if it % 1000 == 0:
@@ -230,9 +238,24 @@ class Trainer:
                     raise FloatingPointError(
                         f"loss non-finite for {self._nonfinite_streak} "
                         f"consecutive iterations (last={loss_v})")
-            else:
-                self._nonfinite_streak = 0
+                return {k: float(v) for k, v in metrics.items()}
+            self._nonfinite_streak = 0
 
+        self._pending_maintenance = (it, metrics)
+        if sync:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
+
+    def flush_maintenance(self) -> None:
+        """Apply the deferred densify/prune/opacity-reset for the last
+        completed iteration (a no-op when nothing is pending). Call before
+        saving FULL training checkpoints to match the reference's ordering
+        (train.py:151-153 saves them post-densification); scene PLY saves
+        must NOT call this."""
+        if self._pending_maintenance is None:
+            return
+        it, metrics = self._pending_maintenance
+        self._pending_maintenance = None
         o = self.ocfg
         if it < o.densify_until_iter:
             if it > o.densify_from_iter and it % o.densification_interval == 0:
@@ -245,9 +268,6 @@ class Trainer:
             if it % o.opacity_reset_interval == 0 or (
                     self.white_background and it == o.densify_from_iter):
                 self.ts = reset_opacity_step(self.ts)
-        if sync:
-            return {k: float(v) for k, v in metrics.items()}
-        return metrics
 
     def _device_cache(self, cam, kind: str):
         """GT tensors are uploaded once per camera and reused across epochs."""

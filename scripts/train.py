@@ -130,6 +130,10 @@ def main(argv=None):
                     ckpt.save_checkpoint(mcfg.model_path, it, trainer.ts)
             if it in args.checkpoint_iterations:
                 print(f"\n[ITER {it}] Saving Checkpoint")
+                # full checkpoints are post-densification in the reference
+                # (train.py:151-153 follow :129-140); PLY saves above are
+                # pre-densification (:121-126)
+                trainer.flush_maintenance()
                 ckpt.save_checkpoint(mcfg.model_path, it, trainer.ts)
 
             if gui is not None:

@@ -94,6 +94,9 @@ def test_opacity_reset_in_loop(scene):
                  feature_dim=F_DIM)
     for _ in range(3):
         tr.step()
+    # maintenance (incl. the reset at it=3) is deferred so that saves
+    # observe pre-reset state like the reference; flush applies it
+    tr.flush_maintenance()
     op = np.asarray(jax.nn.sigmoid(tr.ts.params.opacity))
     alive = np.asarray(tr.ts.gstate.alive)
     assert np.all(op[alive] <= 0.0101)
@@ -121,3 +124,26 @@ def test_nonfinite_loss_guard(scene):
             tr.step()
             # the update must have been discarded each time
             assert tr.ts is poisoned
+
+
+def test_ply_save_precedes_opacity_reset(scene, tmp_path):
+    """The reference saves the scene PLY BEFORE the same-iteration opacity
+    reset (train.py:121-126 vs :139-140); snapshotting after it produces a
+    near-transparent model. Train exactly to a reset boundary and check the
+    observable state still has its learned opacities."""
+    from feature3dgs_tpu.train.trainer import Trainer
+
+    ocfg = OptimizationConfig(iterations=6, densify_from_iter=100,
+                              densification_interval=2,
+                              opacity_reset_interval=4)
+    tr = Trainer(scene, ocfg=ocfg, rcfg=RCFG, max_sh_degree=2,
+                 feature_dim=F_DIM, capacity_headroom=2.0)
+    for _ in range(4):  # iteration 4 == reset boundary
+        tr.step()
+    # state visible to a save at it=4 must be PRE-reset
+    op_before = np.asarray(tr.ts.params.opacity)
+    assert float(np.max(op_before)) > -3.0  # logits not yet slammed down
+
+    # next step applies the deferred reset first, then trains
+    tr.step()
+    assert tr.iteration == 5
