@@ -29,11 +29,14 @@ def pad_embedding(emb_chw: np.ndarray) -> np.ndarray:
 
 
 def decode_masks(emb_chw: np.ndarray, image_hw: tuple[int, int],
-                 points=None, boxes=None, labels=None):
+                 points=None, boxes=None, labels=None,
+                 return_logits: bool = False):
     """Decode masks for point/box prompts from a [256,h,w] embedding.
 
     points: [[x, y], ...] in original-image pixel coords.
-    Returns (masks [M, H, W] bool, iou_scores [M]).
+    Returns (masks [M, H, W] bool, iou_scores [M]); with
+    ``return_logits`` the masks are float logits instead (threshold at
+    MASK_THRESHOLD for the binary mask).
     """
     import torch
     model, proc = load_sam()
@@ -56,9 +59,28 @@ def decode_masks(emb_chw: np.ndarray, image_hw: tuple[int, int],
             multimask_output=True)
     masks = proc.image_processor.post_process_masks(
         out.pred_masks.cpu(), inputs["original_sizes"],
-        inputs["reshaped_input_sizes"])[0]
-    return (masks[0].numpy().astype(bool),
-            out.iou_scores[0, 0].cpu().numpy())
+        inputs["reshaped_input_sizes"], binarize=not return_logits)[0]
+    masks = masks[0].numpy()
+    if not return_logits:
+        masks = masks.astype(bool)
+    return masks, out.iou_scores[0, 0].cpu().numpy()
+
+
+# segment-anything mask decoding constants (modeling/sam.py mask_threshold,
+# automatic_mask_generator.py stability_score_offset)
+MASK_THRESHOLD = 0.0
+STABILITY_OFFSET = 1.0
+
+
+def stability_score(logits: np.ndarray, offset: float = STABILITY_OFFSET,
+                    threshold: float = MASK_THRESHOLD) -> float:
+    """IoU between the masks obtained by thresholding the logits at
+    ``threshold +/- offset`` — the reference's calculate_stability_score
+    (segment_anything/utils/amg.py): stable masks barely change under a
+    logit offset."""
+    hi = float((logits > threshold + offset).sum())
+    lo = float((logits > threshold - offset).sum())
+    return hi / max(lo, 1.0)
 
 
 def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
@@ -85,17 +107,20 @@ def auto_masks(emb_chw: np.ndarray, image_hw: tuple[int, int],
     cand = []
     for y in ys:
         for x in xs:
-            masks, scores = decode_masks(emb_chw, image_hw, points=[[x, y]])
-            for m, s in zip(masks, np.atleast_1d(scores)):
+            logits, scores = decode_masks(emb_chw, image_hw, points=[[x, y]],
+                                          return_logits=True)
+            for lg, s in zip(logits, np.atleast_1d(scores)):
                 if s < pred_iou_thresh:
                     continue
-                # stability: IoU between the mask and itself under a logit
-                # offset is approximated here by erosion/dilation agreement
+                stab = stability_score(lg)
+                if stab < stability_thresh:
+                    continue
+                m = lg > MASK_THRESHOLD
                 area = int(m.sum())
                 if area == 0:
                     continue
                 cand.append({"segmentation": m, "predicted_iou": float(s),
-                             "stability_score": 1.0, "area": area})
+                             "stability_score": stab, "area": area})
     cand.sort(key=lambda d: -d["predicted_iou"])
     kept = []
     for c in cand:

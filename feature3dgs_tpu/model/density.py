@@ -148,8 +148,6 @@ def densify_and_prune(
     new_scaling = jnp.log(scaling / (0.8 * 2.0))
 
     def write_child(tree, tgt, which):
-        def upd(path_leaf_pair):
-            pass
         def upd_leaf(name, x):
             if name == "xyz":
                 src = child_xyz[which]

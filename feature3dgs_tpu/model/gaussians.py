@@ -82,8 +82,12 @@ def get_scaling(p: GaussianParams) -> jnp.ndarray:
 
 
 def get_rotation(p: GaussianParams) -> jnp.ndarray:
-    n = jnp.linalg.norm(p.rotation, axis=-1, keepdims=True)
-    return p.rotation / jnp.maximum(n, 1e-12)
+    # rsqrt of a clamped square-norm: jnp.linalg.norm has a NaN gradient at
+    # exactly-zero rows (d|x|/dx = x/|x|), and capacity-padding rows are
+    # all-zero — their zero cotangent times NaN would poison the rotation
+    # (and via preprocess every geometric) gradient of dead rows each step.
+    sq = jnp.sum(p.rotation * p.rotation, axis=-1, keepdims=True)
+    return p.rotation * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
 
 
 def get_opacity(p: GaussianParams, alive: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -93,6 +93,13 @@ def bin_gaussians(
         rasterizer_impl.cu:104).
       valid: [N] bool from preprocess.
     """
+    # The f32 reciprocal-divide expansion below manipulates slot indices and
+    # offsets (not just rect-local values) in f32; beyond 2^24 those are no
+    # longer exactly representable and tiles would silently mis-assign.
+    if instance_capacity >= (1 << 24):
+        raise ValueError(
+            f"instance_capacity {instance_capacity} >= 2^24: slot indices "
+            "leave the f32-exact integer range used by the expansion")
     n = depth.shape[0]
     widths = (rect_max[:, 0] - rect_min[:, 0]).astype(jnp.int32)
     heights = (rect_max[:, 1] - rect_min[:, 1]).astype(jnp.int32)
@@ -161,8 +168,11 @@ def bin_gaussians(
         t_tiles = grid.num_tiles
         pad_needed = (-counts) % a                         # [T] in [0, a)
         # static filler lattice, length padded so the final sorted array
-        # stays a multiple of the HBM row-tile (and of large chunk sizes)
-        n_fill = -(-(t_tiles * (a - 1)) // 1024) * 1024
+        # stays a multiple of the HBM row-tile (and of large chunk sizes);
+        # +256 guarantees >= one max-size kernel chunk of slack past the
+        # last segment even at exactly-full instance capacity, so the Pallas
+        # segment clamp (_clamp_segments) never drops in-capacity splats
+        n_fill = -(-(t_tiles * (a - 1) + 256) // 1024) * 1024
         f_idx = np.arange(n_fill)
         f_tile = jnp.asarray(
             np.minimum(f_idx // (a - 1), t_tiles - 1).astype(np.int32))

@@ -73,6 +73,22 @@ def slab_width(f_dim: int) -> int:
     return _ceil_to(feat_offset(f_dim) + f_dim, LANE)
 
 
+def _clamp_segments(starts, counts, l_cap: int, k_chunk: int):
+    """Clamp per-tile segments so every chunk window [start+i*K, +K) fits in
+    the slab — the in-kernel DMA-offset ``min(.., l_cap - k_chunk)`` then
+    provably never binds. Without this, a segment ending within one chunk of
+    the slab end pulls the window back over rows already composited
+    (double-compositing them in the forward, and racing overlapping
+    gradient-chunk DMA writes in the backward). Clamping here makes
+    instance-capacity overflow a clean farthest-splat drop. All quantities
+    stay 8-aligned (starts are aligned by the binning fillers; l_cap and
+    k_chunk are multiples of 8)."""
+    limit = l_cap - k_chunk
+    starts_c = jnp.minimum(starts, limit)
+    counts_c = jnp.clip(counts, 0, limit - starts_c)
+    return starts_c, counts_c
+
+
 def _tri(k: int, kind: str):
     """Triangular 0/1 [K,K] masks for scan-as-matmul.
 
@@ -111,7 +127,7 @@ def _mmc(a, b, contract):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
+def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
                 c_pad: int, l_cap: int, tiles_per_program: int,
                 split: bool):
@@ -136,9 +152,12 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
         start = starts_ref[t]
         count = counts_ref[t]
 
-        # pixel lattice of this tile (row-major, y outer) on the lane axis
-        tile_x = jax.lax.rem(t, grid_x)
-        tile_y = jax.lax.div(t, grid_x)
+        # pixel lattice of this tile (row-major, y outer) on the lane axis;
+        # tbase offsets local tile indices to the global grid (tile-sharded
+        # rendering passes each device a contiguous slice of the tile list)
+        t_glob = tbase_ref[0] + t
+        tile_x = jax.lax.rem(t_glob, grid_x)
+        tile_y = jax.lax.div(t_glob, grid_x)
         px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
         py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
@@ -152,8 +171,8 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
         def get_dma(slot, i, start=start):
             # start is 8-aligned (binning injects per-tile fillers) and
             # l_cap is a multiple of 8, so the min() keeps the (8,128) HBM
-            # row-tiling alignment; it only binds on tile-list overflow past
-            # the slab end (splat-drop policy).
+            # row-tiling alignment; _clamp_segments guarantees it never
+            # actually binds (pure lowering aid).
             off = pl.multiple_of(
                 jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
             return pltpu.make_async_copy(
@@ -241,21 +260,25 @@ def _fwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
 
 
 def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
-            interpret: bool = False, tiles_per_program: int = 8):
+            interpret: bool = False, tiles_per_program: int = 8,
+            tile_base=None):
     """Run the forward compositing kernel.
 
     Args: starts/counts [T] int32; slab [L, C_pad] f32 with C_pad a multiple
-    of 128 and L a multiple of 8.
+    of 128 and L a multiple of 8. T may be a contiguous SLICE of the global
+    tile grid (tile-sharded rendering): ``tile_base`` (scalar int32, default
+    0) is then the global index of tile 0 of the slice.
     Returns (out_misc [T,P,128], out_feat [T,P,C_pad-128] or None,
     final_T [T,P], n_contrib [T,P]); when C_pad == 128 everything lives in
     out_misc and out_feat is None.
     """
-    t_tiles = grid.num_tiles
+    t_tiles = starts.shape[0]
     p = grid.pixels_per_tile
     l_cap, c_pad = slab.shape
     assert l_cap % 8 == 0 and c_pad % LANE == 0 and k_chunk % 8 == 0
     split = c_pad > LANE
     c_feat = c_pad - LANE
+    starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)
 
     tpp = max(1, tiles_per_program)
     t_pad = _ceil_to(t_tiles, tpp)
@@ -271,20 +294,20 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 
     out_specs = [
         pl.BlockSpec((tpp, p, LANE if split else c_pad),
-                     lambda t, s, c: (t, 0, 0), memory_space=pltpu.VMEM),
+                     lambda t, s, c, b: (t, 0, 0), memory_space=pltpu.VMEM),
     ]
     out_shape = [jax.ShapeDtypeStruct((t_pad, p, LANE if split else c_pad),
                                       jnp.float32)]
     if split:
         out_specs.append(
-            pl.BlockSpec((tpp, p, c_feat), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((tpp, p, c_feat), lambda t, s, c, b: (t, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((t_pad, p, c_feat), jnp.float32))
     out_specs += [
-        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape += [
@@ -292,8 +315,13 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
         jax.ShapeDtypeStruct((t_pad, 1, p), jnp.int32),
     ]
 
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_base = jnp.asarray(tile_base, jnp.int32).reshape((1,))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_pad // tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -313,7 +341,7 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(starts, counts, slab)
+    )(starts, counts, tile_base, slab)
     if split:
         out_misc, out_feat, finalt, ncontrib = outs
         out_feat = out_feat[:t_tiles]
@@ -329,7 +357,7 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
+def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
                 c_pad: int, l_cap: int, split: bool, fag: bool,
                 tiles_per_program: int):
@@ -379,8 +407,9 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
         start = starts_ref[t]
         count = counts_ref[t]
 
-        tile_x = jax.lax.rem(t, grid_x)
-        tile_y = jax.lax.div(t, grid_x)
+        t_glob = tbase_ref[0] + t
+        tile_x = jax.lax.rem(t_glob, grid_x)
+        tile_y = jax.lax.div(t_glob, grid_x)
         px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
         py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
@@ -570,22 +599,24 @@ def _bwd_kernel(starts_ref, counts_ref, slab_hbm, *refs,
 def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
              ncontrib, alpha_mask, grid: TileGrid, *, k_chunk: int = 64,
              feature_alpha_grad: bool = False, interpret: bool = False,
-             tiles_per_program: int = 8):
+             tiles_per_program: int = 8, tile_base=None):
     """Backward kernel: per-instance gradients in slab layout.
 
     gpix_misc [T,P,128] cotangent on the misc lanes (geom lanes zero, rgb at
     8:11, depth at 11, plus small features at 12.. in the non-split layout);
     gpix_feat [T,P,C_pad-128] feature cotangent (None when the slab is 128
     lanes wide); g_finalt [T,P] cotangent on final_T; alpha_mask [1,128]
-    selects misc lanes that couple into dL/dalpha.
+    selects misc lanes that couple into dL/dalpha. T may be a contiguous
+    slice of the global tile grid with ``tile_base`` its global offset.
     Returns d_slab [L,C_pad]: lanes 0:6 = (d_x, d_y, d_conic*, d_opacity),
     remaining lanes = channel grads in slab layout.
     """
-    t_tiles = grid.num_tiles
+    t_tiles = starts.shape[0]
     p = grid.pixels_per_tile
     l_cap, c_pad = slab.shape
     split = c_pad > LANE
     c_feat = c_pad - LANE
+    starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)
 
     tpp = max(1, tiles_per_program)
     t_pad = _ceil_to(t_tiles, tpp)
@@ -611,23 +642,27 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
         tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, split=split,
         fag=feature_alpha_grad, tiles_per_program=tpp)
 
+    if tile_base is None:
+        tile_base = jnp.zeros((1,), jnp.int32)
+    else:
+        tile_base = jnp.asarray(tile_base, jnp.int32).reshape((1,))
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # slab
-        pl.BlockSpec((tpp, p, LANE), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, p, LANE), lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # gpix_misc
     ]
-    args = [starts, counts, slab, gpix_misc]
+    args = [starts, counts, tile_base, slab, gpix_misc]
     if split:
         in_specs.append(
-            pl.BlockSpec((tpp, p, c_feat), lambda t, s, c: (t, 0, 0),
+            pl.BlockSpec((tpp, p, c_feat), lambda t, s, c, b: (t, 0, 0),
                          memory_space=pltpu.VMEM))  # gpix_feat
         args.append(gpix_feat)
     in_specs += [
-        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # g_finalt
-        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # finalt
-        pl.BlockSpec((tpp, 1, p), lambda t, s, c: (t, 0, 0),
+        pl.BlockSpec((tpp, 1, p), lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # ncontrib
         pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha_mask [1,128]
         pl.BlockSpec(memory_space=pl.ANY),      # dinit (aliased out)
@@ -639,7 +674,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
              ncontrib.reshape(t_pad, 1, p), alpha_mask, dinit]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t_pad // tpp,),
         in_specs=in_specs,
         out_specs=[
@@ -708,26 +743,30 @@ def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
     return slab, seg_ids
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
-                     xy, conic, opacity, rgbfeat, depth,
+                     xy, conic, opacity, rgbfeat, depth, tile_base,
                      grid: TileGrid, k_chunk: int, feature_alpha_grad: bool,
                      interpret: bool) -> PallasCompositeOutput:
     """Pallas-kernel compositing, drop-in parallel of composite.composite.
 
     gid_sorted is BinningResult.gid_sorted (8-aligned segments with -1
     fillers baked in by the binning sort); tile_starts must be the matching
-    aligned starts. rgbfeat is (rgb [N,3], feat [N,F]) packed as a tuple to
-    keep the differentiable argument list flat-friendly.
+    aligned starts — possibly a contiguous SLICE of the tile grid, with
+    ``tile_base`` (scalar int32, or None for 0) its global tile offset
+    (tile-sharded rendering under shard_map). rgbfeat is (rgb [N,3],
+    feat [N,F]) packed as a tuple to keep the differentiable argument list
+    flat-friendly.
     """
     out, _ = _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic,
-                     opacity, rgbfeat, depth, grid, k_chunk,
+                     opacity, rgbfeat, depth, tile_base, grid, k_chunk,
                      feature_alpha_grad, interpret)
     return out
 
 
 def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
-            rgbfeat, depth, grid, k_chunk, feature_alpha_grad, interpret):
+            rgbfeat, depth, tile_base, grid, k_chunk, feature_alpha_grad,
+            interpret):
     rgb, feat = rgbfeat
     f_dim = feat.shape[-1]
     fo = feat_offset(f_dim)
@@ -735,9 +774,9 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
         gid_sorted, xy, conic, opacity, rgb, feat, depth)
     out_misc, out_feat, finalt, ncontrib = forward(
         tile_starts, tile_counts, slab, grid, k_chunk=k_chunk,
-        interpret=interpret)
+        interpret=interpret, tile_base=tile_base)
     res = (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
-           xy.shape[0], f_dim)
+           xy.shape[0], f_dim, tile_base)
     if out_feat is not None:
         feature = out_feat[:, :, 0:f_dim]
     else:
@@ -751,7 +790,7 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
 
 def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
     (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
-     n, f_dim) = res
+     n, f_dim, tile_base) = res
     d_color, d_feature, d_depth, d_finalt, _d_nc = cts
     c_pad = slab.shape[1]
     fo = feat_offset(f_dim)
@@ -788,7 +827,8 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
     d_slab = backward(
         tile_starts, tile_counts, slab, gpix_misc, gpix_feat, d_finalt,
         finalt, ncontrib, jnp.asarray(amask), grid, k_chunk=k_chunk,
-        feature_alpha_grad=feature_alpha_grad, interpret=interpret)
+        feature_alpha_grad=feature_alpha_grad, interpret=interpret,
+        tile_base=tile_base)
 
     # per-instance -> per-Gaussian (the atomicAdd/all-reduce analog)
     dg = jax.ops.segment_sum(d_slab, seg_ids, num_segments=n + 1)[:n]
@@ -800,8 +840,10 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
     d_feat = dg[:, fo:fo + f_dim]
 
     zi = lambda x: np.zeros(np.shape(x), jax.dtypes.float0)
+    d_tb = None if tile_base is None else zi(tile_base)
     return (zi(tile_starts), zi(tile_counts), zi(seg_ids),
-            zi(jnp.int32(0)), d_xy, d_conic, d_op, (d_rgb, d_feat), d_depth_g)
+            zi(jnp.int32(0)), d_xy, d_conic, d_op, (d_rgb, d_feat),
+            d_depth_g, d_tb)
 
 
 composite_pallas.defvjp(_cp_fwd, _cp_bwd)

@@ -172,8 +172,8 @@ def rasterize(
         out = pallas_raster.composite_pallas(
             bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
             xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
-            pre.depth, grid, max(config.chunk, 8), config.feature_alpha_grad,
-            config.backend == "pallas_interpret")
+            pre.depth, None, grid, max(config.chunk, 8),
+            config.feature_alpha_grad, config.backend == "pallas_interpret")
     else:
         out = composite_lib.composite(
             bins.tile_lists, composite_lib.tile_pixel_coords(grid, xy.dtype),

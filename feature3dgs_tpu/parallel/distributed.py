@@ -33,7 +33,13 @@ def initialize(coordinator_address: str | None = None,
     metadata server; on other setups pass them or set
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
     """
-    if jax.process_count() > 1:
+    # IMPORTANT: touch no backend-initializing jax API (jax.process_count,
+    # jax.devices, ...) before jax.distributed.initialize — doing so makes
+    # initialize() unconditionally raise 'must be called before any JAX
+    # calls'. Idempotency is checked against the distributed client state
+    # instead.
+    from jax._src import distributed as _dist  # internal, but the only
+    if _dist.global_state.client is not None:  # pre-backend probe available
         return  # already initialized
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
@@ -46,13 +52,14 @@ def initialize(coordinator_address: str | None = None,
     try:
         jax.distributed.initialize(**kwargs)
     except (ValueError, RuntimeError) as e:
-        # single-process runs (tests, one-host dev) land here; multi-host
-        # misconfiguration should fail loudly
+        # explicit multi-host configuration must fail loudly
         if addr or os.environ.get("JAX_NUM_PROCESSES"):
             raise
-        if jax.process_count() == 1:
-            return
-        raise e
+        if "already" in str(e).lower():
+            return  # someone initialized it first — fine
+        # single-process runs (tests, one-host dev) land here: TPU-pod
+        # auto-detect has no metadata server to talk to
+        return
 
 
 def make_host_chip_mesh(axis_names=("data", "tile")) -> jax.sharding.Mesh:

@@ -91,24 +91,51 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
     area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
     valid = pre.valid & (area > 0) & state.alive
 
+    backend = config.backend
+    if backend == "auto":
+        platform = jax.devices()[0].platform
+        backend = "pallas" if platform in ("tpu", "axon") else "xla"
+    use_pallas = backend in ("pallas", "pallas_interpret")
+
     bins = binning_lib.bin_gaussians(
         jax.lax.stop_gradient(rect_min), jax.lax.stop_gradient(rect_max),
         jax.lax.stop_gradient(pre.depth), jax.lax.stop_gradient(valid), grid,
         instance_capacity=config.instance_capacity_or_default,
-        tile_capacity=config.tile_capacity)
+        tile_capacity=config.tile_capacity,
+        build_tile_lists=not use_pallas)
 
-    pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)
-    tl = _pad_tiles(bins.tile_lists, n_tile, -1)
-    px = _pad_tiles(pix_xy, n_tile, 0.0)
-    t_loc = tl.shape[0] // n_tile
     ti = jax.lax.axis_index("tile")
-    tl_local = jax.lax.dynamic_slice_in_dim(tl, ti * t_loc, t_loc, axis=0)
-    px_local = jax.lax.dynamic_slice_in_dim(px, ti * t_loc, t_loc, axis=0)
+    if use_pallas:
+        # The Pallas kernels themselves run tile-sharded: each device walks
+        # only its contiguous slice of the tile grid (starts/counts slice +
+        # global tile_base offset) against the replicated instance slab; the
+        # backward writes only its slice's slab segments (rest stays zero
+        # via the aliased init) so the post-kernel segment-sum already
+        # yields this shard's partial per-Gaussian grads.
+        ts_pad = _pad_tiles(bins.tile_starts, n_tile, 0)
+        tc_pad = _pad_tiles(bins.tile_counts, n_tile, 0)
+        t_loc = ts_pad.shape[0] // n_tile
+        tile_base = ti * t_loc
+        starts_l = jax.lax.dynamic_slice_in_dim(ts_pad, tile_base, t_loc)
+        counts_l = jax.lax.dynamic_slice_in_dim(tc_pad, tile_base, t_loc)
+        from feature3dgs_tpu.ops import pallas_raster
+        out = pallas_raster.composite_pallas(
+            starts_l, counts_l, bins.gid_sorted, bins.total,
+            xy, pre.conic, pre.opacity, (pre.rgb, G.get_semantic(params)),
+            pre.depth, tile_base, grid, max(config.chunk, 8),
+            config.feature_alpha_grad, backend == "pallas_interpret")
+    else:
+        pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)
+        tl = _pad_tiles(bins.tile_lists, n_tile, -1)
+        px = _pad_tiles(pix_xy, n_tile, 0.0)
+        t_loc = tl.shape[0] // n_tile
+        tl_local = jax.lax.dynamic_slice_in_dim(tl, ti * t_loc, t_loc, axis=0)
+        px_local = jax.lax.dynamic_slice_in_dim(px, ti * t_loc, t_loc, axis=0)
 
-    out = composite_lib.composite(
-        tl_local, px_local, xy, pre.conic, pre.opacity, pre.rgb,
-        G.get_semantic(params), pre.depth,
-        config.chunk, config.precision, config.feature_alpha_grad)
+        out = composite_lib.composite(
+            tl_local, px_local, xy, pre.conic, pre.opacity, pre.rgb,
+            G.get_semantic(params), pre.depth,
+            config.chunk, config.precision, config.feature_alpha_grad)
 
     color_l = out.color + out.final_T[..., None] * bg
     # gather tiles across the tile axis -> full frame on every device
@@ -157,93 +184,142 @@ class _StateView:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "config", "width", "height", "lambda_dssim",
-                     "feature_loss_weight", "speedup"))
+    static_argnames=("mesh", "ocfg", "rcfg", "speedup", "max_sh_degree"))
 def sharded_train_step(
-    params: G.GaussianParams,
-    state: G.GaussianState,
-    adam: optim.AdamState,
-    decoder,                     # dict params of the speed-up decoder, or {}
+    ts,                          # train.trainer.TrainState
     cam_arrays: dict,            # view/proj/campos/tan_fovx/tan_fovy, leading dim B
     gt_images: jnp.ndarray,      # [B,H,W,3]
     gt_features: jnp.ndarray,    # [B,h,w,F]
     bg: jnp.ndarray,
-    lrs: G.GaussianParams,       # per-leaf learning rates (precomputed)
+    iteration: jnp.ndarray,      # scalar int32 (1-based, for the xyz LR)
     *,
     mesh: jax.sharding.Mesh,
-    config: RasterConfig,
-    width: int,
-    height: int,
-    lambda_dssim: float = 0.2,
-    feature_loss_weight: float = 1.0,
+    ocfg,                        # train.trainer.OptimizationConfig
+    rcfg: RasterConfig,
     speedup: bool = False,
+    max_sh_degree: int = 3,
 ):
-    """One dp x sp training step over a camera batch.
+    """One dp x sp training step over a camera batch — the mesh counterpart
+    of train.trainer.train_step (same TrainState in/out contract).
 
     Semantics: the loss is the MEAN over the B cameras of the reference's
     per-iteration loss (train.py:98-105); gradients are psum'ed over the
     mesh, Adam applies once. Densification statistics take the union of
-    visibility / max radii and the summed ndc gradients over the batch.
+    visibility / max radii and the summed ndc gradients over the batch, and
+    are folded into gstate like the single-device step. Non-finite steps
+    are discarded device-side (same failure-detection contract).
     """
+    from feature3dgs_tpu.train.trainer import TrainState
+
     b = gt_images.shape[0]
+    height, width = gt_images.shape[1], gt_images.shape[2]
     n_data = mesh.shape["data"]
     n_tile = mesh.shape["tile"]
     if b % n_data:
         raise ValueError(f"camera batch {b} not divisible by data axis {n_data}")
     b_loc = b // n_data
+    gstate = ts.gstate
 
     def loss_fn(params, ndc_offset, decoder):
         def shard_fn(view, proj, campos, tfx, tfy, gt_img, gt_feat,
                      params, alive, ndc_offset, decoder):
-            st = _StateView(state, alive)
-            total = 0.0
+            st = _StateView(gstate, alive)
+            total = jnp.float32(0.0)
+            ll1 = jnp.float32(0.0)
+            ll1_feat = jnp.float32(0.0)
+            psnr = jnp.float32(0.0)
             vis = jnp.zeros((params.capacity,), bool)
             rad = jnp.zeros((params.capacity,), jnp.float32)
+            n_inst = jnp.int32(0)
+            mtc = jnp.int32(0)
             for i in range(b_loc):
                 cam = CameraView(view=view[i], proj=proj[i], campos=campos[i],
                                  tan_fovx=tfx[i], tan_fovy=tfy[i],
                                  width=width, height=height)
                 color, feature, depth, aux = _local_composite(
-                    params, st, cam, bg, config, n_tile,
+                    params, st, cam, bg, rcfg, n_tile,
                     ndc_offset=ndc_offset)
-                rgb_term, _ = L.rgb_loss(color, gt_img[i], lambda_dssim)
+                rgb_term, l1_i = L.rgb_loss(color, gt_img[i], ocfg.lambda_dssim)
                 fmap = L.resize_bilinear_align_corners(
                     feature, gt_feat.shape[1], gt_feat.shape[2])
                 if speedup:
                     fmap = apply_decoder(decoder, fmap)
-                total = total + rgb_term + feature_loss_weight * L.l1_loss(
-                    fmap, gt_feat[i])
+                lf_i = L.l1_loss(fmap, gt_feat[i])
+                total = total + rgb_term + ocfg.feature_loss_weight * lf_i
+                ll1 = ll1 + l1_i
+                ll1_feat = ll1_feat + lf_i
+                psnr = psnr + L.psnr(jnp.clip(color, 0, 1),
+                                     jnp.clip(gt_img[i], 0, 1))
                 vis = vis | aux["visibility"]
                 rad = jnp.maximum(rad, aux["radii"])
+                n_inst = jnp.maximum(n_inst, aux["total_instances"])
+                mtc = jnp.maximum(mtc, aux["max_tile_count"])
             # Mean over batch; the tile-redundant computation is normalized
             # by n_tile so the full-mesh psum returns the true mean (and its
             # transpose delivers exactly one cotangent share per tile owner).
-            loss = jax.lax.psum(total / (b * n_tile), ("data", "tile"))
+            norm = 1.0 / (b * n_tile)
+            loss = jax.lax.psum(total * norm, ("data", "tile"))
+            scalars = jax.lax.psum(
+                jnp.stack([ll1 * norm, ll1_feat * norm, psnr * norm]),
+                ("data", "tile"))
             vis = jax.lax.pmax(vis.astype(jnp.int32), ("data", "tile")) > 0
             rad = jax.lax.pmax(rad, ("data", "tile"))
-            return loss, vis, rad
+            n_inst = jax.lax.pmax(n_inst, ("data", "tile"))
+            mtc = jax.lax.pmax(mtc, ("data", "tile"))
+            return loss, scalars, vis, rad, n_inst, mtc
 
-        loss, vis, rad = jax.shard_map(
+        outs = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
                       P("data"), P("data"),
                       jax.tree.map(lambda _: P(), params), P(), P(),
                       jax.tree.map(lambda _: P(), decoder)),
-            out_specs=(P(), P(), P()), check_vma=False,
+            out_specs=(P(), P(), P(), P(), P(), P()), check_vma=False,
         )(cam_arrays["view"], cam_arrays["proj"], cam_arrays["campos"],
           cam_arrays["tan_fovx"], cam_arrays["tan_fovy"],
-          gt_images, gt_features, params, state.alive, ndc_offset, decoder)
-        return loss, (vis, rad)
+          gt_images, gt_features, params, gstate.alive, ndc_offset, decoder)
+        loss, scalars, vis, rad, n_inst, mtc = outs
+        return loss, (scalars, vis, rad, n_inst, mtc)
 
-    zeros_offset = jnp.zeros((params.capacity, 2), jnp.float32)
-    (loss, (vis, rad)), (g_params, g_offset, g_dec) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1, 2), has_aux=True)(params, zeros_offset, decoder)
+    zeros_offset = jnp.zeros((ts.params.capacity, 2), jnp.float32)
+    (loss, (scalars, vis, rad, n_inst, mtc)), (g_params, g_offset, g_dec) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            ts.params, zeros_offset, ts.decoder))
 
-    new_params, new_adam = optim.adam_update(params, g_params, adam, lrs)
-    metrics = {"loss": loss}
-    densify_aux = {"ndc_grad": g_offset, "visibility": vis, "radii": rad,
-                   "decoder_grads": g_dec}
-    return new_params, new_adam, metrics, densify_aux
+    lrs = optim.group_lrs(ocfg.lr, iteration, gstate.spatial_lr_scale)
+    params, adam = optim.adam_update(ts.params, g_params, ts.adam, lrs)
+
+    decoder, decoder_adam = ts.decoder, ts.decoder_adam
+    if speedup:
+        decoder, decoder_adam = optim.tensor_adam_update(
+            ts.decoder, g_dec, ts.decoder_adam, lr=1e-4)
+
+    from feature3dgs_tpu.model import density
+    gstate = density.add_densification_stats(gstate, g_offset, vis, rad)
+
+    # device-side failure detection, same contract as train_step
+    finite = jnp.isfinite(loss)
+
+    def _keep(new, old):
+        return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+
+    params = _keep(params, ts.params)
+    adam = _keep(adam, ts.adam)
+    gstate = _keep(gstate, ts.gstate)
+    if speedup:
+        decoder = _keep(decoder, ts.decoder)
+        decoder_adam = _keep(decoder_adam, ts.decoder_adam)
+
+    metrics = {
+        "finite": finite,
+        "loss": loss, "l1": scalars[0], "l1_feature": scalars[1],
+        "psnr": scalars[2],
+        "num_instances": n_inst,
+        "max_tile_count": mtc,
+        "num_active": gstate.num_active,
+    }
+    return TrainState(params=params, gstate=gstate, adam=adam,
+                      decoder=decoder, decoder_adam=decoder_adam), metrics
 
 
 def stack_cameras(cams: Sequence[CameraView]) -> dict:

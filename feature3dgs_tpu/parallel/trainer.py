@@ -1,0 +1,136 @@
+"""Distributed training orchestration: the Trainer analog over a device
+mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.4); this is a new
+TPU-native design. ``DistributedTrainer`` reuses the single-device
+``Trainer``'s host-side schedule logic (SH bumps, densify/prune/opacity
+reset cadence, capacity growth re-jits, GT caching) and swaps the jitted
+step for ``parallel.sharded.sharded_train_step``: per step it consumes a
+batch of ``mesh.shape['data']`` cameras (each counted as one reference
+iteration, train.py:84-91) rendered tile-sharded over ``mesh.shape['tile']``
+devices, with gradients psum'ed across the whole mesh.
+
+Densification runs replicated: the mesh step folds the psum'ed ndc
+gradients / visibility union / max radii into ``gstate`` exactly like the
+single-device step, so the same jitted ``densify_step`` /
+``reset_opacity_step`` (operating on replicated arrays) keeps every
+device's parameters identical — the TPU-native equivalent of the
+reference's in-place optimizer surgery (gaussian_model.py:285-355) under
+SPMD.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from feature3dgs_tpu.data.dataset import SceneData
+from feature3dgs_tpu.parallel.sharded import sharded_train_step, stack_cameras
+from feature3dgs_tpu.train.trainer import Trainer
+
+
+class DistributedTrainer(Trainer):
+    """Mesh-parallel Trainer: batches ``n_data`` cameras per jitted step.
+
+    The iteration counter advances by the camera-batch size so the
+    reference's per-iteration schedule (densify every 100, opacity reset
+    every 3000, LR decay per iteration) keeps its meaning; the batch loss
+    is the mean of per-camera reference losses.
+    """
+
+    def __init__(self, scene: SceneData, *, mesh: jax.sharding.Mesh,
+                 cameras_per_step: int | None = None, **kwargs):
+        super().__init__(scene, **kwargs)
+        self.mesh = mesh
+        self.n_data = mesh.shape["data"]
+        self.batch = cameras_per_step or self.n_data
+        if self.batch % self.n_data:
+            raise ValueError(
+                f"cameras_per_step {self.batch} not divisible by the data "
+                f"axis {self.n_data}")
+
+    def step(self, cameras=None, sync: bool = True) -> dict:
+        """One mesh step over a camera batch (counts as ``batch``
+        reference iterations)."""
+        self.flush_maintenance()
+        it0 = self.iteration + 1
+        self.iteration += self.batch
+        for it in range(it0, self.iteration + 1):
+            if it % 1000 == 0:
+                from feature3dgs_tpu.model import gaussians as G
+                self.ts = self.ts.replace(gstate=G.one_up_sh_degree(
+                    self.ts.gstate, self.max_sh_degree))
+        cams = (list(cameras) if cameras is not None
+                else [self.pick_camera() for _ in range(self.batch)])
+        gt_images = jnp.stack([self._device_cache(c, "image") for c in cams])
+        gt_features = jnp.stack(
+            [self._device_cache(c, "feature") for c in cams])
+        cam_arrays = stack_cameras([c.to_view() for c in cams])
+
+        self.ts, metrics = sharded_train_step(
+            self.ts, cam_arrays, gt_images, gt_features, self.bg,
+            jnp.int32(it0), mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
+            speedup=self.speedup, max_sh_degree=self.max_sh_degree)
+
+        if sync:
+            if not float(metrics["finite"]):
+                self._nonfinite_streak += 1
+                print(f"[dist-trainer] non-finite loss at iteration "
+                      f"{self.iteration} (streak {self._nonfinite_streak}); "
+                      "step discarded on device")
+                if self._nonfinite_streak >= 5:
+                    raise FloatingPointError(
+                        f"loss non-finite at {self._nonfinite_streak} "
+                        "consecutive sync points")
+                return {k: float(v) for k, v in metrics.items()}
+            self._nonfinite_streak = 0
+
+        self._pending_maintenance = (self.iteration, metrics)
+        if sync:
+            return {k: float(v) for k, v in metrics.items()}
+        return metrics
+
+    def flush_maintenance(self) -> None:
+        """Densify/prune/opacity-reset for the completed batch. With batch
+        size B the schedule triggers when the interval boundary falls
+        inside the batch's iteration span (the reference checks
+        ``it % interval == 0`` per camera-iteration)."""
+        if self._pending_maintenance is None:
+            return
+        it, metrics = self._pending_maintenance
+        self._pending_maintenance = None
+        o = self.ocfg
+        b = self.batch
+        span = range(it - b + 1, it + 1)
+
+        def hits(interval):
+            return any(i % interval == 0 for i in span)
+
+        if it - b + 1 < o.densify_until_iter:
+            if it > o.densify_from_iter and hits(o.densification_interval):
+                from feature3dgs_tpu.train.trainer import densify_step
+                self.key, sub = jax.random.split(self.key)
+                self.ts, report = densify_step(
+                    self.ts, sub, jnp.float32(self.extent), ocfg=o,
+                    use_screen_size_prune=it > o.opacity_reset_interval)
+                self._maybe_grow(report)
+                self._maybe_grow_raster(metrics)
+            if hits(o.opacity_reset_interval) or (
+                    self.white_background
+                    and it - b + 1 <= o.densify_from_iter <= it):
+                from feature3dgs_tpu.train.trainer import reset_opacity_step
+                self.ts = reset_opacity_step(self.ts)
+
+    def train(self, iterations: int | None = None, log_every: int = 50,
+              callback=None):
+        n = iterations or self.ocfg.iterations
+        history = []
+        while self.iteration < n:
+            nxt = self.iteration + self.batch
+            log = nxt >= n or (nxt // log_every) > (self.iteration // log_every)
+            m = self.step(sync=log)
+            if log:
+                m = {k: float(v) for k, v in m.items()}
+                history.append({"iteration": self.iteration, **m})
+                if callback:
+                    callback(self.iteration, m)
+        return history

@@ -70,6 +70,25 @@ def save_checkpoint(model_path: str, iteration: int, ts) -> str:
     return path
 
 
+def save_decoder_checkpoint(model_path: str, iteration: int, decoder) -> str:
+    """Decoder-only artifact — the reference's decoder_chkpnt{it}.pth
+    (train.py:124-126): just the speed-up decoder parameters, loadable
+    without the full training state."""
+    payload = serialization.msgpack_serialize(
+        _clean(jax.tree.map(np.asarray, decoder)))
+    path = os.path.join(model_path, f"decoder_chkpnt{iteration}.ckpt")
+    os.makedirs(model_path, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(payload)
+    return path
+
+
+def load_decoder_checkpoint(path: str):
+    with open(path, "rb") as f:
+        raw = _unclean(serialization.msgpack_restore(f.read()))
+    return {k: jnp.asarray(v) for k, v in raw.items()}
+
+
 def _clean(tree):
     """msgpack can't encode None; encode as empty dict sentinel."""
     if tree is None:

@@ -107,7 +107,25 @@ def train_step(
     gstate = density.add_densification_stats(
         gstate, g_offset, out.visibility, out.radii)
 
+    # Failure detection (absent in the reference, SURVEY.md §5), device-side
+    # so it works in pipelined (sync=False) training too: a non-finite loss
+    # means non-finite gradients poisoning Adam moments and every later
+    # step — discard the whole update and keep the previous state. The host
+    # aborts on persistent streaks at its sync points.
+    finite = jnp.isfinite(loss)
+
+    def _keep(new, old):
+        return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+
+    params = _keep(params, ts.params)
+    adam = _keep(adam, ts.adam)
+    gstate = _keep(gstate, ts.gstate)
+    if speedup:
+        decoder = _keep(decoder, ts.decoder)
+        decoder_adam = _keep(decoder_adam, ts.decoder_adam)
+
     metrics = {
+        "finite": finite,
         "loss": loss, "l1": ll1, "l1_feature": ll1_feat,
         "num_instances": out.total_instances,
         "max_tile_count": out.max_tile_count,
@@ -217,27 +235,27 @@ class Trainer:
         cam = camera if camera is not None else self.pick_camera()
         gt_image = self._device_cache(cam, "image")
         gt_feature = self._device_cache(cam, "feature")
-        prev_ts = self.ts
         self.ts, metrics = train_step(
             self.ts, cam.to_view(), gt_image, gt_feature, self.bg,
             jnp.int32(it), ocfg=self.ocfg, rcfg=self.rcfg,
             speedup=self.speedup, max_sh_degree=self.max_sh_degree)
 
         # Failure detection (absent in the reference, SURVEY.md section 5):
-        # a non-finite loss poisons Adam moments and every later step —
-        # discard the update, keep training on the previous state, and
-        # abort after repeated consecutive blow-ups.
+        # non-finite steps are discarded DEVICE-SIDE inside train_step (the
+        # guard works pipelined; a blow-up mid-window can never poison Adam
+        # moments). The host side only escalates: at sync points, repeated
+        # non-finite observations mean training is stuck re-attempting from
+        # the same state — abort.
         if sync:
-            loss_v = float(metrics["loss"])
-            if not np.isfinite(loss_v):
+            if not float(metrics["finite"]):
                 self._nonfinite_streak += 1
-                self.ts = prev_ts
                 print(f"[trainer] non-finite loss at iteration {it} "
-                      f"(streak {self._nonfinite_streak}); step discarded")
+                      f"(streak {self._nonfinite_streak}); step discarded "
+                      "on device")
                 if self._nonfinite_streak >= 5:
                     raise FloatingPointError(
-                        f"loss non-finite for {self._nonfinite_streak} "
-                        f"consecutive iterations (last={loss_v})")
+                        f"loss non-finite at {self._nonfinite_streak} "
+                        "consecutive sync points")
                 return {k: float(v) for k, v in metrics.items()}
             self._nonfinite_streak = 0
 

@@ -1,12 +1,16 @@
 #!/usr/bin/env python
 """Multi-chip scaling-efficiency harness (BASELINE.md config 5).
 
-Runs the dp x sp sharded train step on 1, 2, 4, ... devices of the current
-platform and reports steps/s + parallel efficiency vs the single-device
-run. On real multi-chip TPU hardware this measures true ICI scaling; under
+Runs the dp x sp sharded train step (the PALLAS kernel path under
+shard_map) on 1, 2, 4, ... devices of the current platform and reports
+step time + parallel efficiency vs the single-device run. On real
+multi-chip TPU hardware this measures true ICI scaling; under
 ``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`` it
 validates the sharded program end-to-end (CPU timings are NOT a scaling
 claim — the driver's real-hardware run is).
+
+On one device this also cross-checks that the shard_map wrapper costs
+nothing: its step_ms should match bench.py's within noise.
 
 Prints one JSON line per mesh size:
   {"devices": D, "mesh": [dp, sp], "step_ms": .., "efficiency": ..}
@@ -30,6 +34,7 @@ def build_inputs(n_gauss, f_dim, w, h, n_data, capacity):
     from feature3dgs_tpu.core import transforms
     from feature3dgs_tpu.core.projection import CameraView
     from feature3dgs_tpu.model import gaussians as G, optim
+    from feature3dgs_tpu.train.trainer import TrainState
 
     rng = np.random.RandomState(0)
     pts = rng.uniform(-1.5, 1.5, (n_gauss, 3)).astype(np.float32)
@@ -40,6 +45,8 @@ def build_inputs(n_gauss, f_dim, w, h, n_data, capacity):
     params = params.replace(semantic_feature=jnp.asarray(
         rng.randn(params.capacity, 1, f_dim).astype(np.float32) * 0.1))
     state = state.replace(active_sh_degree=3)
+    ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),
+                    decoder=None, decoder_adam=None)
 
     cams = []
     for i in range(n_data):
@@ -56,32 +63,42 @@ def build_inputs(n_gauss, f_dim, w, h, n_data, capacity):
     gt_images = jnp.asarray(rng.rand(n_data, h, w, 3).astype(np.float32))
     gt_features = jnp.asarray(
         rng.randn(n_data, h // 2, w // 2, f_dim).astype(np.float32))
-    return params, state, optim.init_adam(params), cams, gt_images, gt_features
+    return ts, cams, gt_images, gt_features
 
 
 def main(argv=None):
     parser = ArgumentParser()
-    parser.add_argument("--n_gauss", type=int, default=50_000)
-    parser.add_argument("--f_dim", type=int, default=32)
-    parser.add_argument("--width", type=int, default=512)
-    parser.add_argument("--height", type=int, default=512)
-    parser.add_argument("--iters", type=int, default=10)
-    parser.add_argument("--instance_capacity", type=int, default=1 << 18)
-    parser.add_argument("--tile_capacity", type=int, default=1 << 10)
+    parser.add_argument("--n_gauss", type=int, default=100_000)
+    parser.add_argument("--f_dim", type=int, default=128)
+    parser.add_argument("--width", type=int, default=1216)
+    parser.add_argument("--height", type=int, default=800)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--instance_capacity", type=int, default=1 << 19)
+    parser.add_argument("--tile_capacity", type=int, default=1 << 11)
+    parser.add_argument("--backend", type=str, default="auto")
+    parser.add_argument("--small", action="store_true",
+                        help="tiny shapes for CPU-mesh validation runs")
     args = parser.parse_args(argv)
+    if args.small:
+        args.n_gauss, args.f_dim = 2_000, 16
+        args.width, args.height = 256, 192
+        args.instance_capacity, args.tile_capacity = 1 << 14, 1 << 9
 
     import jax
     import jax.numpy as jnp
-    from feature3dgs_tpu.model import optim
+    from feature3dgs_tpu.bench_utils import profiled_step_ms
     from feature3dgs_tpu.ops import RasterConfig
     from feature3dgs_tpu.parallel import make_mesh, sharded_train_step
     from feature3dgs_tpu.parallel.sharded import stack_cameras
+    from feature3dgs_tpu.train.trainer import OptimizationConfig
 
     n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
     cfg = RasterConfig(instance_capacity=args.instance_capacity,
-                       tile_capacity=args.tile_capacity, chunk=64)
-    lrs = optim.group_lrs(optim.LRConfig(), 1, 1.0)
+                       tile_capacity=args.tile_capacity, chunk=128,
+                       backend=args.backend)
+    ocfg = OptimizationConfig()
     bg = jnp.zeros(3)
     base_ms = None
 
@@ -90,35 +107,39 @@ def main(argv=None):
         n_tile = d // n_data
         mesh = make_mesh((n_data, n_tile), ("data", "tile"),
                          devices=jax.devices()[:d])
-        params, state, adam, cams, gt_i, gt_f = build_inputs(
+        ts, cams, gt_i, gt_f = build_inputs(
             args.n_gauss, args.f_dim, args.width, args.height, n_data,
             args.n_gauss)
+        cam_arrays = stack_cameras(cams)
 
-        def one_step(p, a):
-            return sharded_train_step(
-                p, state, a, {}, stack_cameras(cams[:n_data]),
-                gt_i[:n_data], gt_f[:n_data], bg, lrs, mesh=mesh,
-                config=cfg, width=args.width, height=args.height)
+        state = {"ts": ts}
+
+        def step_and_block():
+            state["ts"], m = sharded_train_step(
+                state["ts"], cam_arrays, gt_i, gt_f, bg, jnp.int32(1),
+                mesh=mesh, ocfg=ocfg, rcfg=cfg)
+            jax.block_until_ready(m["loss"])
 
         with jax.set_mesh(mesh):
-            p, a, m, _ = one_step(params, adam)
-            jax.block_until_ready(m["loss"])
-            t0 = time.time()
-            for _ in range(args.iters):
-                p, a, m, _ = one_step(p, a)
-            jax.block_until_ready(m["loss"])
+            step_and_block()  # compile
+            if platform in ("tpu", "axon"):
+                step_ms = profiled_step_ms(step_and_block, n=args.iters)
+            else:
+                t0 = time.time()
+                for _ in range(args.iters):
+                    step_and_block()
+                step_ms = (time.time() - t0) / args.iters * 1000
         # pixels processed per step scales with the data axis
-        step_ms = (time.time() - t0) / args.iters * 1000
-        per_px_ms = step_ms / n_data
+        per_img_ms = step_ms / n_data
         if base_ms is None:
-            base_ms = per_px_ms
-        eff = base_ms / (per_px_ms * d) * 1  # ideal: per-image time / d
+            base_ms = per_img_ms
         print(json.dumps({
             "devices": d, "mesh": [n_data, n_tile],
             "step_ms": round(step_ms, 2),
             "images_per_step": n_data,
-            "efficiency_vs_1dev": round(base_ms / per_px_ms / d, 4),
-            "platform": jax.devices()[0].platform,
+            "efficiency_vs_1dev": round(base_ms / per_img_ms / d, 4),
+            "platform": platform,
+            "backend": cfg.backend,
         }))
     return 0
 

@@ -29,9 +29,15 @@ def _load_dir(path):
 
 
 def _lpips_fn():
+    # native JAX VGG-LPIPS (weights from LPIPS_WEIGHTS npz, see
+    # scripts/convert_lpips_weights.py) ...
+    from feature3dgs_tpu.metrics import lpips_available, lpips_distance
+    if lpips_available():
+        return lpips_distance
+    # ... falling back to the torch lpips package when importable
     try:
         import torch
-        import lpips  # not in env; torchvision fallback below
+        import lpips  # not in env; weights-file path above is the default
         net = lpips.LPIPS(net="vgg")
         return lambda a, b: float(net(torch.tensor(a).permute(2, 0, 1)[None] * 2 - 1,
                                       torch.tensor(b).permute(2, 0, 1)[None] * 2 - 1))

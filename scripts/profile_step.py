@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Profile the bench-config training step and print named device spans.
+
+Dev tool for the perf work: runs the same step as bench.py under
+jax.profiler, then lists the largest device events (fusions, custom calls,
+kernels) with durations so the step-time budget (docs/tpu_notes.md) can be
+re-derived after every optimization.
+"""
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+from argparse import ArgumentParser
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = ArgumentParser()
+    ap.add_argument("--f_dim", type=int, default=128)
+    ap.add_argument("--n", type=int, default=3, help="profiled steps")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--n_gauss", type=int, default=100_000)
+    ap.add_argument("--width", type=int, default=1216)
+    ap.add_argument("--height", type=int, default=800)
+    ap.add_argument("--instance_capacity", type=int, default=1 << 19)
+    ap.add_argument("--save", type=str, default=None,
+                    help="also copy the raw trace.json.gz here")
+    args = ap.parse_args(argv)
+
+    import bench
+    bench.F_DIM = args.f_dim
+    bench.N_GAUSS = args.n_gauss
+    bench.W, bench.H = args.width, args.height
+
+    import functools
+    import math
+    import time
+    import jax
+    import jax.numpy as jnp
+    from feature3dgs_tpu.core import transforms
+    from feature3dgs_tpu.core.projection import CameraView
+    from feature3dgs_tpu.model import gaussians as G
+    from feature3dgs_tpu.model import optim
+    from feature3dgs_tpu.ops import RasterConfig
+    from feature3dgs_tpu.train.trainer import (OptimizationConfig, TrainState,
+                                               train_step)
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-2.0, 2.0, (args.n_gauss, 3)).astype(np.float32)
+    cols = rng.rand(args.n_gauss, 3).astype(np.float32)
+    params, state = G.create_from_pcd(
+        pts, cols, max_sh_degree=3, feature_dim=args.f_dim,
+        capacity=args.n_gauss,
+        knn_mean_dists=np.full(args.n_gauss, 2e-4, np.float32))
+    params = params.replace(
+        semantic_feature=jnp.asarray(
+            rng.randn(args.n_gauss, 1, args.f_dim).astype(np.float32) * 0.1),
+        opacity=jnp.full((args.n_gauss, 1), 0.0, jnp.float32))
+    state = state.replace(active_sh_degree=3)
+    W, H = args.width, args.height
+    view = transforms.world_to_view(np.eye(3), np.array([0.0, 0.0, 5.0]))
+    proj = transforms.projection_matrix(0.01, 100.0, 1.2, 0.9) @ view
+    cam = CameraView(
+        view=jnp.asarray(view), proj=jnp.asarray(proj),
+        campos=jnp.asarray(
+            transforms.camera_center_from_view(view).astype(np.float32)),
+        tan_fovx=jnp.float32(math.tan(0.6)),
+        tan_fovy=jnp.float32(math.tan(0.45)), width=W, height=H)
+    gt_image = jnp.asarray(rng.rand(H, W, 3).astype(np.float32))
+    gt_feature = jnp.asarray(
+        rng.randn(H // 2, W // 2, args.f_dim).astype(np.float32) * 0.1)
+    bg = jnp.zeros(3)
+    rcfg = RasterConfig(instance_capacity=args.instance_capacity,
+                        tile_capacity=1 << 11, chunk=128)
+    ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),
+                    decoder=None, decoder_adam=None)
+    f = jax.jit(functools.partial(
+        train_step, ocfg=OptimizationConfig(), rcfg=rcfg, speedup=False,
+        max_sh_degree=3))
+    t0 = time.time()
+    ts, m = f(ts, cam, gt_image, gt_feature, bg, jnp.int32(1))
+    jax.block_until_ready(m["loss"])
+    print(f"compiled in {time.time() - t0:.0f}s; loss={float(m['loss']):.4f} "
+          f"instances={int(m['num_instances'])}")
+
+    d = tempfile.mkdtemp(prefix="proftrace")
+    with jax.profiler.trace(d):
+        for i in range(args.n):
+            ts, m = f(ts, cam, gt_image, gt_feature, bg, jnp.int32(i + 2))
+            jax.block_until_ready(m["loss"])
+    path = sorted(glob.glob(
+        os.path.join(d, "plugins/profile/*/*.trace.json.gz")))[-1]
+    if args.save:
+        import shutil
+        shutil.copy(path, args.save)
+        print(f"trace -> {args.save}")
+    with gzip.open(path) as fh:
+        tr = json.load(fh)
+    events = [e for e in tr.get("traceEvents", [])
+              if e.get("ph") == "X" and not e.get("name", "$").startswith("$")
+              and "block" not in e.get("name", "")
+              and "trace" not in e.get("name", "")]
+    # group repeated executions of the same op name
+    agg = defaultdict(list)
+    for e in events:
+        agg[e["name"]].append(e.get("dur", 0))
+    rows = []
+    for name, durs in agg.items():
+        rows.append((float(np.median(durs)), len(durs), name))
+    rows.sort(reverse=True)
+    total = rows[0][0] / 1000.0
+    print(f"\nstep span: {total:.2f} ms  (median over {args.n})")
+    print(f"{'med_ms':>9} {'count':>5}  name")
+    for med, cnt, name in rows[: args.top]:
+        print(f"{med / 1000.0:9.3f} {cnt:5d}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,9 +92,14 @@ def main(argv=None):
 
     decoder = None
     if mcfg.speedup:
-        ts, _ = ckpt.load_checkpoint(
-            os.path.join(mcfg.model_path, f"chkpnt{iteration}.ckpt"))
-        decoder = ts.decoder
+        dec_path = os.path.join(mcfg.model_path,
+                                f"decoder_chkpnt{iteration}.ckpt")
+        if os.path.exists(dec_path):
+            decoder = ckpt.load_decoder_checkpoint(dec_path)
+        else:  # fall back to a full training checkpoint
+            ts, _ = ckpt.load_checkpoint(
+                os.path.join(mcfg.model_path, f"chkpnt{iteration}.ckpt"))
+            decoder = ts.decoder
     bg = jnp.asarray([1.0, 1.0, 1.0] if mcfg.white_background else [0.0, 0.0, 0.0])
 
     edit = text_feats = None

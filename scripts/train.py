@@ -35,6 +35,10 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--sync_every", type=int, default=10,
+                        help="host-sync (and log/GUI-serve) period; steps "
+                             "in between pipeline through the dispatch "
+                             "queue without blocking")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a jax.profiler device trace of "
@@ -42,6 +46,13 @@ def main(argv=None):
                              "tensorboard/xprof; SURVEY.md section 5 notes "
                              "the reference only has wall-clock timers)")
     parser.add_argument("--disable_viewer", action="store_true")
+    parser.add_argument("--mesh", type=str, default=None, metavar="DxT",
+                        help="multi-chip training mesh 'data x tile', e.g. "
+                             "'1x8' or '2x4': cameras batch over the data "
+                             "axis, each image's tile grid shards over the "
+                             "tile axis (SURVEY.md section 2.4; the "
+                             "reference is single-GPU only). Requires "
+                             "data*tile == len(jax.devices()).")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -74,10 +85,22 @@ def main(argv=None):
         "model_path": mcfg.model_path})
     ckpt.save_cameras_json(mcfg.model_path, scene.train_cameras)
 
-    trainer = Trainer(scene, ocfg=ocfg, rcfg=rcfg,
-                      max_sh_degree=mcfg.sh_degree,
-                      speedup=mcfg.speedup,
-                      white_background=mcfg.white_background, seed=args.seed)
+    import contextlib
+    mesh_ctx = contextlib.nullcontext()
+    tkw = dict(ocfg=ocfg, rcfg=rcfg, max_sh_degree=mcfg.sh_degree,
+               speedup=mcfg.speedup, white_background=mcfg.white_background,
+               seed=args.seed)
+    if args.mesh:
+        from feature3dgs_tpu.parallel import make_mesh
+        from feature3dgs_tpu.parallel.trainer import DistributedTrainer
+        n_data, n_tile = (int(x) for x in args.mesh.lower().split("x"))
+        mesh = make_mesh((n_data, n_tile), ("data", "tile"))
+        trainer = DistributedTrainer(scene, mesh=mesh, **tkw)
+        mesh_ctx = jax.set_mesh(mesh)
+        print(f"Mesh training: data={n_data} x tile={n_tile} over "
+              f"{n_data * n_tile} devices")
+    else:
+        trainer = Trainer(scene, **tkw)
     if args.start_checkpoint:
         ts, it = ckpt.load_checkpoint(args.start_checkpoint)
         trainer.ts = ts
@@ -92,43 +115,84 @@ def main(argv=None):
         except OSError as e:
             print(f"viewer disabled ({e})")
 
+    # TensorBoard observability, matching the reference's training_report
+    # scalars/histograms (train.py:203-239): losses, iter time, test PSNR,
+    # opacity histogram, total points. jsonl + stdout remain the fallback.
+    tb = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(mcfg.model_path)
+    except Exception as e:
+        print(f"tensorboard logging disabled ({e})")
+
     ema_loss = 0.0
     t_start = time.time()
+    t_sync = time.time()
+    last_sync_it = 0
+    bsz = getattr(trainer, "batch", 1)
     log_path = os.path.join(mcfg.model_path, "train_log.jsonl")
-    with open(log_path, "a") as logf:
+    with mesh_ctx, open(log_path, "a") as logf:
         while trainer.iteration < ocfg.iterations:
             if args.profile and trainer.iteration == 20:
                 import jax
                 jax.profiler.start_trace(args.profile)
-            t0 = time.time()
-            metrics = trainer.step()
-            it = trainer.iteration
+            span = range(trainer.iteration + 1, trainer.iteration + bsz + 1)
+            it = span[-1]
+            # Pipelined dispatch: steps are enqueued without host blocking
+            # (the device-side finite guard in train_step keeps failure
+            # detection live); sync only where the host actually reads
+            # metrics — every sync_every iters and at report/save points.
+            # Blocked dispatches pay ~100ms RPC on tunneled TPUs
+            # (docs/tpu_notes.md), which otherwise doubles CLI step time.
+            sync = (it % args.sync_every < bsz or it >= ocfg.iterations
+                    or any(i in args.test_iterations
+                           or i in args.save_iterations
+                           or i in args.checkpoint_iterations for i in span)
+                    or (args.profile and it in (20, 30)))
+            metrics = trainer.step(sync=sync)
             if args.profile and it == 30:
                 import jax
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 print(f"profiler trace (iterations 20-30) -> {args.profile}")
+            if not sync:
+                continue
+            metrics = {k: float(v) for k, v in metrics.items()}
             ema_loss = 0.4 * metrics["loss"] + 0.6 * ema_loss if it > 1 \
                 else metrics["loss"]
-            if it % 10 == 0 and not args.quiet:
+            ms_it = (time.time() - t_sync) * 1000 / max(it - last_sync_it, 1)
+            t_sync, last_sync_it = time.time(), it
+            if not args.quiet:
                 print(f"[{it}/{ocfg.iterations}] loss={ema_loss:.5f} "
                       f"psnr={metrics['psnr']:.2f} "
                       f"pts={int(metrics['num_active'])} "
-                      f"({(time.time() - t0) * 1000:.0f} ms/it)")
-            if it % 50 == 0:
+                      f"({ms_it:.0f} ms/it)")
+            if tb is not None:
+                tb.add_scalar("train_loss_patches/l1_loss",
+                              metrics.get("l1", 0.0), it)
+                tb.add_scalar("train_loss_patches/l1_feature_loss",
+                              metrics.get("l1_feature", 0.0), it)
+                tb.add_scalar("train_loss_patches/total_loss",
+                              metrics["loss"], it)
+                tb.add_scalar("iter_time", ms_it, it)
+                tb.add_scalar("total_points", int(metrics["num_active"]), it)
+            if it % 50 < bsz:
                 logf.write(json.dumps({"iteration": it, **metrics,
                                        "elapsed_s": time.time() - t_start}) + "\n")
                 logf.flush()
 
-            if it in args.test_iterations:
-                _report(trainer, scene, it)
-            if it in args.save_iterations:
+            if any(i in args.test_iterations for i in span):
+                _report(trainer, scene, it, tb)
+            if any(i in args.save_iterations for i in span):
                 print(f"\n[ITER {it}] Saving Gaussians")
                 ckpt.save_scene_ply(mcfg.model_path, it, trainer.ts.params,
                                     trainer.ts.gstate)
                 if mcfg.speedup and trainer.ts.decoder is not None:
-                    ckpt.save_checkpoint(mcfg.model_path, it, trainer.ts)
-            if it in args.checkpoint_iterations:
+                    # decoder-only artifact like the reference's
+                    # decoder_chkpnt{it}.pth (train.py:124-126)
+                    ckpt.save_decoder_checkpoint(mcfg.model_path, it,
+                                                 trainer.ts.decoder)
+            if any(i in args.checkpoint_iterations for i in span):
                 print(f"\n[ITER {it}] Saving Checkpoint")
                 # full checkpoints are post-densification in the reference
                 # (train.py:151-153 follow :129-140); PLY saves above are
@@ -142,10 +206,13 @@ def main(argv=None):
     print("\nTraining complete.")
 
 
-def _report(trainer, scene, iteration):
+def _report(trainer, scene, iteration, tb=None):
     """training_report analog (train.py:203-239): PSNR/L1 on test cameras +
-    5 fixed train cameras."""
+    5 fixed train cameras, plus the opacity histogram / total_points
+    TensorBoard records."""
+    import jax
     import jax.numpy as jnp
+    import numpy as np
     from feature3dgs_tpu.render import renderer
     from feature3dgs_tpu.train import losses as L
     configs = [("test", scene.test_cameras),
@@ -166,6 +233,16 @@ def _report(trainer, scene, iteration):
         n = len(cams)
         print(f"\n[ITER {iteration}] Evaluating {name}: "
               f"L1 {l1t / n:.5f} PSNR {psnrt / n:.2f}")
+        if tb is not None:
+            tb.add_scalar(f"{name}/loss_viewpoint - l1_loss", l1t / n,
+                          iteration)
+            tb.add_scalar(f"{name}/loss_viewpoint - psnr", psnrt / n,
+                          iteration)
+    if tb is not None:
+        alive = np.asarray(trainer.ts.gstate.alive)
+        op = np.asarray(jax.nn.sigmoid(trainer.ts.params.opacity[:, 0]))
+        tb.add_histogram("scene/opacity_histogram", op[alive], iteration)
+        tb.add_scalar("total_points", int(alive.sum()), iteration)
 
 
 def _serve_gui(gui, trainer, scene, ema_loss):

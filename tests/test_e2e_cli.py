@@ -1,0 +1,161 @@
+"""Full-pipeline CLI test on a generated COLMAP scene.
+
+Generates a COLMAP-format dataset on disk whose images and teacher feature
+maps are renders of a known ground-truth Gaussian model, then drives the
+real CLI surface end-to-end:
+
+    scripts/train.py -> scripts/render.py -> scripts/metrics.py
+                     -> scripts/segmentation.py
+
+asserting PSNR and teacher-feature-cosine thresholds — the offline analog
+of the reference's full_eval.py driver (full_eval.py:15-75), runnable
+without real datasets. Catches cross-layer regressions (config merge,
+COLMAP conventions, PLY round-trip, renderer, metrics) that unit tests
+cannot.
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feature3dgs_tpu.data import colmap as C
+
+W, H = 64, 48
+F_DIM = 8
+N_CAMS = 6
+
+
+def _build_dataset(root: str):
+    """COLMAP sparse model + images + lseg-style teacher maps, all rendered
+    from a GT Gaussian model through the SAME loader conventions."""
+    from tests.utils import random_gaussians
+    from feature3dgs_tpu.data.dataset import load_scene
+    from feature3dgs_tpu.ops import RasterConfig, rasterize
+
+    rng = np.random.RandomState(0)
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+
+    # cameras: identity rotation, shifted centers (qvec w-first identity)
+    cams = [C.ColmapCamera(1, "PINHOLE", W, H,
+                           np.array([55.0, 55.0, W / 2, H / 2]))]
+    imgs = []
+    for i in range(N_CAMS):
+        tvec = np.array([0.25 * (i - N_CAMS / 2), 0.0, 4.0 + 0.2 * i])
+        imgs.append(C.ColmapImage(i + 1, np.array([1.0, 0, 0, 0]), tvec, 1,
+                                  f"img_{i:03d}.png"))
+    gt = random_gaussians(n=150, f_dim=F_DIM, seed=3, max_sh_degree=3)
+    pts = np.asarray(gt["means3d"])
+    rgb = (rng.rand(150, 3) * 255).astype(np.uint8)
+    C.write_dummy_model(os.path.join(root, "sparse/0"), cams, imgs, pts, rgb)
+
+    # placeholder images so the scene loads; then render GT through the
+    # loader's own camera conventions and overwrite
+    from PIL import Image
+    for im in imgs:
+        Image.fromarray(np.zeros((H, W, 3), np.uint8)).save(
+            os.path.join(root, "images", im.name))
+    scene = load_scene(root, resolution=-1)
+
+    rcfg = RasterConfig(instance_capacity=1 << 13, tile_capacity=1 << 9,
+                        chunk=16)
+    feat_dir = os.path.join(root, "rgb_feature_langseg")
+    os.makedirs(feat_dir, exist_ok=True)
+    import torch
+    for cam in scene.train_cameras:
+        out = rasterize(gt["means3d"], gt["opacities"], gt["feat"],
+                        cam.to_view(), scales=gt["scales"],
+                        rotations=gt["rotations"], shs=gt["shs"],
+                        sh_degree=3, config=rcfg)
+        img = (np.clip(np.asarray(out.color), 0, 1) * 255).astype(np.uint8)
+        # the loader stores image_name without its extension (reference
+        # dataset_readers.py convention)
+        stem = os.path.splitext(cam.image_name)[0]
+        Image.fromarray(img).save(os.path.join(root, "images", stem + ".png"))
+        fmap = np.asarray(out.feature)[::2, ::2]  # teacher at half res
+        torch.save(torch.from_numpy(
+            np.ascontiguousarray(fmap.transpose(2, 0, 1)).astype(np.float16)),
+            os.path.join(feat_dir, stem + "_fmap_CxHxW.pt"))
+    return gt
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e_scene"))
+    model = str(tmp_path_factory.mktemp("e2e_model"))
+    _build_dataset(root)
+
+    import scripts.train as train_cli
+    train_cli.main([
+        "-s", root, "-m", model, "-f", "lseg", "--eval",
+        "--iterations", "200", "--save_iterations", "200",
+        "--test_iterations", "200", "--sync_every", "20",
+        "--instance_capacity", str(1 << 13), "--tile_capacity", str(1 << 9),
+        "--densify_from_iter", "20", "--densification_interval", "60",
+        "--densify_until_iter", "160", "--opacity_reset_interval", "10000",
+        "--position_lr_max_steps", "200", "--disable_viewer", "--quiet"])
+
+    import scripts.render as render_cli
+    render_cli.main(["-m", model, "--iteration", "200"])
+
+    import scripts.metrics as metrics_cli
+    metrics_cli.main(["-m", model])
+    return root, model
+
+
+def test_cli_train_render_metrics(pipeline):
+    root, model = pipeline
+    with open(os.path.join(model, "results.json")) as f:
+        res = json.load(f)
+    entry = res[f"ours_200"]
+    # train renders must beat a no-model baseline by a wide margin (an
+    # untrained scene scores ~8-10 dB on these synthetic views)
+    assert entry["PSNR"] > 16.0, entry
+    assert entry["SSIM"] > 0.55, entry
+    # per-view file exists and covers the test split (idx % 8 == 2)
+    assert os.path.exists(os.path.join(model, "per_view.json"))
+    assert os.path.isdir(os.path.join(model, "test", "ours_200", "renders"))
+
+
+def test_cli_rendered_features_match_teacher(pipeline):
+    root, model = pipeline
+    feat_dir = os.path.join(model, "train", "ours_200", "saved_feature")
+    teacher_dir = os.path.join(root, "rgb_feature_langseg")
+    names = sorted(n for n in os.listdir(feat_dir) if n.endswith(".npy"))
+    assert names
+    cosines = []
+    import torch
+    teachers = sorted(os.listdir(teacher_dir))
+    for n, tn in zip(names, teachers):
+        student = np.load(os.path.join(feat_dir, n)).astype(np.float32)
+        teacher = torch.load(os.path.join(teacher_dir, tn)).float().numpy()
+        h = min(student.shape[1], teacher.shape[1])
+        w = min(student.shape[2], teacher.shape[2])
+        s = student[:, :h, :w].reshape(F_DIM, -1)
+        t = teacher[:, :h, :w].reshape(F_DIM, -1)
+        tn = np.linalg.norm(t, axis=0)
+        # empty-background pixels have ~zero teacher features (zero-init
+        # semantic vectors, black bg) and meaningless cosines — mask them
+        mask = tn > 0.1 * tn.max()
+        num = (s * t).sum(0)
+        den = np.linalg.norm(s, axis=0) * tn + 1e-8
+        cosines.append(float((num / den)[mask].mean()))
+    assert np.mean(cosines) > 0.6, cosines
+
+
+def test_cli_segmentation_from_rendered_features(pipeline, tmp_path):
+    root, model = pipeline
+    feat_dir = os.path.join(model, "train", "ours_200", "saved_feature")
+    text = np.random.RandomState(0).randn(5, F_DIM).astype(np.float32)
+    text_path = str(tmp_path / "text.npy")
+    np.save(text_path, text)
+    out_dir = str(tmp_path / "seg")
+
+    import scripts.segmentation as seg_cli
+    seg_cli.main(["--feature_dir", feat_dir, "--output", out_dir,
+                  "--label_src", "a,b,c,d,e", "--text_features", text_path])
+    outs = os.listdir(out_dir)
+    assert any(o.endswith(".png") for o in outs), outs

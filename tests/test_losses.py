@@ -61,3 +61,69 @@ def test_tv_loss():
     x = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4, 1))
     # dx steps of 1 (3 rows x 3 diffs), dy steps of 4 (2x4 diffs)
     assert float(L.tv_loss(x)) == 3 * 3 * 1 + 2 * 4 * 16
+
+
+def test_lpips_jax_matches_torch_reference(tmp_path):
+    """Native JAX LPIPS math vs an independent torch implementation of the
+    same VGG16 trunk + linear heads, sharing one set of random weights
+    (pretrained weights are unavailable offline; this validates the MATH of
+    feature3dgs_tpu/metrics/lpips_jax.py against lpipsPyTorch's definition:
+    unit-normalized tap activations, squared diff, linear head, spatial
+    mean, layer sum)."""
+    import math
+    import torch
+    import torch.nn.functional as F
+    from feature3dgs_tpu.metrics import lpips_jax as LJ
+
+    rng = np.random.RandomState(0)
+    cfg = LJ._VGG16
+    weights = {}
+    prev = 3
+    ci = 0
+    for spec in cfg:
+        if spec == "M":
+            continue
+        weights[f"conv{ci}_w"] = (rng.randn(3, 3, prev, spec)
+                                  .astype(np.float32) / math.sqrt(9 * prev))
+        weights[f"conv{ci}_b"] = rng.randn(spec).astype(np.float32) * 0.1
+        prev = spec
+        ci += 1
+    for j, c in enumerate([64, 128, 256, 512, 512]):
+        weights[f"lin{j}_w"] = np.abs(rng.randn(c).astype(np.float32)) * 0.05
+    path = str(tmp_path / "lpips_test.npz")
+    np.savez(path, **weights)
+
+    a = rng.rand(64, 64, 3).astype(np.float32)
+    b = np.clip(a + rng.randn(64, 64, 3).astype(np.float32) * 0.1, 0, 1)
+
+    w = LJ.load_lpips_weights(path)
+    got = LJ.lpips_distance(a, b, weights=w)
+
+    def torch_taps(img):
+        x = torch.tensor(img.transpose(2, 0, 1))[None] * 2 - 1
+        x = (x - torch.tensor(LJ._SHIFT)[None, :, None, None]) \
+            / torch.tensor(LJ._SCALE)[None, :, None, None]
+        taps = []
+        ci = 0
+        for spec in cfg:
+            if spec == "M":
+                x = F.max_pool2d(x, 2, 2)
+                continue
+            wt = torch.tensor(
+                weights[f"conv{ci}_w"].transpose(3, 2, 0, 1))  # HWIO->OIHW
+            bt = torch.tensor(weights[f"conv{ci}_b"])
+            x = F.relu(F.conv2d(x, wt, bt, padding=1))
+            if ci in LJ._TAP_AFTER_CONV:
+                taps.append(x)
+            ci += 1
+        return taps
+
+    ta, tb = torch_taps(a), torch_taps(b)
+    want = 0.0
+    for j, (fa, fb) in enumerate(zip(ta, tb)):
+        na = fa / torch.sqrt((fa * fa).sum(1, keepdim=True) + 1e-10)
+        nb = fb / torch.sqrt((fb * fb).sum(1, keepdim=True) + 1e-10)
+        d2 = (na - nb) ** 2
+        lin = torch.tensor(weights[f"lin{j}_w"])[None, :, None, None]
+        want += float((d2 * lin).sum(1).mean())
+    assert abs(got - want) <= 1e-4 * max(abs(want), 1e-3), (got, want)

@@ -51,7 +51,7 @@ def _run_both(g, pre, bins, feature_alpha_grad=False):
                            bins.gid_sorted, bins.total,
                            pre.xy, pre.conic,
                            pre.opacity, (pre.rgb, g["feat"]), pre.depth,
-                           GRID, 64, feature_alpha_grad, True)
+                           None, GRID, 64, feature_alpha_grad, True)
     return ref, pal
 
 
@@ -90,7 +90,7 @@ def test_pallas_gradients_match_xla(fag):
         depth, CFG.chunk, "highest", fag)
     pal_fn = lambda xy, conic, op, rgb, feat, depth: composite_pallas(
         bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
-        xy, conic, op, (rgb, feat), depth, GRID, 64, fag, True)
+        xy, conic, op, (rgb, feat), depth, None, GRID, 64, fag, True)
 
     args = (pre.xy, pre.conic, pre.opacity, pre.rgb, g["feat"], pre.depth)
     gr = jax.grad(loss_with(ref_fn), argnums=tuple(range(6)))(*args)
@@ -135,7 +135,8 @@ def test_pallas_split_feature_layout():
         feat, pre.depth, CFG.chunk, "highest", False)
     pal_fn = lambda xy, op, feat: composite_pallas(
         bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
-        xy, pre.conic, op, (pre.rgb, feat), pre.depth, GRID, 64, False, True)
+        xy, pre.conic, op, (pre.rgb, feat), pre.depth, None, GRID, 64,
+        False, True)
     args = (pre.xy, pre.opacity, g["feat"])
     gr = jax.grad(loss_of(ref_fn), argnums=(0, 1, 2))(*args)
     gp = jax.grad(loss_of(pal_fn), argnums=(0, 1, 2))(*args)
@@ -143,6 +144,50 @@ def test_pallas_split_feature_layout():
         s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
         np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
                                    atol=5e-6, err_msg=f"split grad {name}")
+
+
+def test_pallas_capacity_overflow_drop_semantics():
+    """Instance-capacity overflow must be a clean farthest-splat drop: with
+    a too-small slab, every tile composites exactly its nearest
+    ``clamped_count`` splats — no double-compositing of rows pulled back by
+    the DMA-window clamp (the _clamp_segments guarantee), no garbage from
+    beyond-slab segments."""
+    from feature3dgs_tpu.ops.pallas_raster import _clamp_segments
+    g = random_gaussians(n=400, f_dim=4, seed=7, scale_lo=-2.5, scale_hi=-1.0)
+    pre = proj_lib.preprocess(g["means3d"], g["opacities"], CAM,
+                              scales=g["scales"], rotations=g["rotations"],
+                              shs=g["shs"], sh_degree=2)
+    rect_min, rect_max = proj_lib.tile_rect(
+        pre.xy, pre.radius, GRID.grid_x, GRID.grid_y, GRID.tile_w, GRID.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    small_cap = 256  # far below the true instance count
+    bins = binning_lib.bin_gaussians(
+        rect_min, rect_max, pre.depth, valid, GRID,
+        instance_capacity=small_cap, tile_capacity=CFG.tile_capacity)
+    assert int(bins.total) > small_cap, "scene must overflow the capacity"
+
+    k_chunk = 64
+    l_cap = bins.gid_sorted.shape[0]
+    starts_c, counts_c = _clamp_segments(
+        bins.tile_starts, bins.tile_counts, l_cap, k_chunk)
+    # reference: XLA composite over the same bins with each tile's list
+    # truncated to the clamped count (nearest splats kept)
+    lane = jnp.arange(CFG.tile_capacity)[None, :]
+    keep = lane < jnp.minimum(counts_c, CFG.tile_capacity)[:, None]
+    tl_ref = jnp.where(keep, bins.tile_lists, -1)
+    ref = composite(tl_ref, tile_pixel_coords(GRID), pre.xy, pre.conic,
+                    pre.opacity, pre.rgb, g["feat"], pre.depth,
+                    CFG.chunk, "highest", False)
+    pal = composite_pallas(bins.tile_starts, bins.tile_counts,
+                           bins.gid_sorted, bins.total,
+                           pre.xy, pre.conic, pre.opacity,
+                           (pre.rgb, g["feat"]), pre.depth,
+                           None, GRID, k_chunk, False, True)
+    np.testing.assert_allclose(pal.color, ref.color, atol=1e-5)
+    np.testing.assert_allclose(pal.feature, ref.feature, atol=1e-5)
+    np.testing.assert_allclose(pal.final_T, ref.final_T, atol=1e-5)
+    np.testing.assert_array_equal(pal.n_contrib, ref.n_contrib)
 
 
 def test_rasterize_backend_interpret_end_to_end():
