@@ -32,7 +32,16 @@ W, H = 1216, 800  # ~1 Mpix, multiples of 16/32
 ITERS = 10
 
 
-def main():
+def main(argv=None):
+    global F_DIM
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f_dim", type=int, default=F_DIM,
+                    help="semantic channel count (reference configs: 128 "
+                         "LSeg-speedup, 256 SAM, 512 LSeg-editing; "
+                         "README.md:327-339)")
+    args = ap.parse_args(argv)
+    F_DIM = args.f_dim
     import jax
     import jax.numpy as jnp
     from feature3dgs_tpu.core import transforms
@@ -135,11 +144,13 @@ def main():
             return jax.lax.scan(body, ts0,
                                 jnp.arange(1, n + 1, dtype=jnp.int32))
 
+        # use ts2 (the warmup result): the original ts was DONATED into the
+        # warmup call (train_step aliases its TrainState buffers in-place)
         run = jax.jit(functools.partial(scan_steps, n=ITERS))
-        ts3, losses = run(ts)
+        ts3, losses = run(ts2)
         jax.block_until_ready(losses)
         t0 = time.time()
-        ts3, losses = run(ts)
+        ts3, losses = run(ts2)
         jax.block_until_ready(losses)
         dt = (time.time() - t0) / ITERS
 
@@ -149,7 +160,8 @@ def main():
 
     pix_s = W * H / dt
     print(json.dumps({
-        "metric": "train-step pixels/s (fwd+bwd+adam, RGB+128f, 100K gauss)",
+        "metric": f"train-step pixels/s (fwd+bwd+adam, RGB+{F_DIM}f, "
+                  "100K gauss)",
         "value": round(pix_s, 1),
         "unit": "pix/s",
         "vs_baseline": round(pix_s / REFERENCE_PIX_S, 4),

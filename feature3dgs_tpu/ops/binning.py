@@ -108,6 +108,13 @@ def bin_gaussians(
     # Exclusive prefix sum -> slot offsets (cub InclusiveSum analog).
     offsets = jnp.cumsum(areas) - areas          # [N] exclusive
     total = offsets[-1] + areas[-1]
+    # Capacity overflow drops whole Gaussians (highest-index first): the
+    # difference-array histogram below must count exactly the instances
+    # that survive the slot expansion, which a partially-expanded Gaussian
+    # would break. `fits` is a prefix (offsets are monotone).
+    incl = offsets + areas
+    fits = incl <= instance_capacity
+    fit_total = jnp.max(jnp.where(fits & valid, incl, 0))
 
     # Expansion: slot s belongs to Gaussian g = rightmost g with offset <= s.
     # One boundary marker per Gaussian at its segment start, then an
@@ -120,7 +127,7 @@ def bin_gaussians(
         1, mode="drop")
     gid = jnp.cumsum(markers) - 1
     gid = jnp.clip(gid, 0, n - 1)
-    slot_valid = slots < total
+    slot_valid = slots < fit_total
 
     # Local tile within the Gaussian's rect, row-major like duplicateWithKeys.
     # One fused [N,8] f32 table gather (five separate gathers cost ~1ms each
@@ -150,10 +157,24 @@ def bin_gaussians(
     tile_key = jnp.where(slot_valid, tile_id, sentinel_tile)
     depth_key = jnp.where(slot_valid, gathered[:, 4], jnp.float32(jnp.inf))
 
-    # Per-tile true counts (identifyTileRanges analog): histogram over the
-    # unsorted keys; the sentinel tile id falls off the end via mode="drop".
-    counts = jnp.zeros((grid.num_tiles,), jnp.int32).at[tile_key].add(
-        1, mode="drop")
+    # Per-tile true counts (identifyTileRanges analog) via a 2-D difference
+    # array over the rects: each rect adds +1 at (y0,x0), -1 at (y0,x1) and
+    # (y1,x0), +1 at (y1,x1) in a (gy+1)x(gx+1) lattice; a double cumsum
+    # recovers the per-tile histogram. 4N scatter points at N gaussians vs
+    # an instance_capacity-length scatter over tile_key — cheaper, scales
+    # with the scene rather than the slab, and has a shorter dependency
+    # chain (rects only, no slot expansion).
+    gxp, gyp = grid.grid_x + 1, grid.grid_y + 1
+    one = (valid & fits).astype(jnp.int32)
+    x0, y0 = rect_min[:, 0], rect_min[:, 1]
+    x1, y1 = rect_max[:, 0], rect_max[:, 1]
+    corner_idx = jnp.concatenate([
+        y0 * gxp + x0, y0 * gxp + x1, y1 * gxp + x0, y1 * gxp + x1])
+    corner_val = jnp.concatenate([one, -one, -one, one])
+    diff = jnp.zeros((gyp * gxp,), jnp.int32).at[corner_idx].add(
+        corner_val, mode="drop")
+    c2 = jnp.cumsum(jnp.cumsum(diff.reshape(gyp, gxp), axis=1), axis=0)
+    counts = c2[: grid.grid_y, : grid.grid_x].reshape(-1)
 
     # Segment alignment: inject up to (segment_align-1) filler entries per
     # tile with depth=+inf so the stable sort lands them at each segment's

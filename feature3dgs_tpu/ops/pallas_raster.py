@@ -132,17 +132,30 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 c_pad: int, l_cap: int, tiles_per_program: int,
                 split: bool):
     if split:
+        # split layout: misc outputs are CHANNEL-MAJOR [8, P] (rows
+        # 0:3 rgb, 3 depth) — [P, 128] misc blocks are >90% pad lanes, and
+        # their accumulation matmul wastes a full [K,128] MXU pass per
+        # chunk on 4 live channels; 4 VPU broadcast-reductions are exact
+        # f32 at a fraction of the cost, and the [T,P,128] HBM round trips
+        # shrink 16x.
         (out_misc_ref, out_feat_ref, finalt_ref, ncontrib_ref,
-         buf, acc, tcar, live, ncon, sems) = refs
+         buf, acc, accm, tcar, live, ncon, sems) = refs
     else:
         (out_misc_ref, finalt_ref, ncontrib_ref,
          buf, acc, tcar, live, ncon, sems) = refs
         out_feat_ref = None
+        accm = None
     prog = pl.program_id(0)
     p = tile_w * tile_h
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
     tril = _tri(k_chunk, "lower_inc")
+
+    def chunk_dma(buf, sems, slot, start, i):
+        off = pl.multiple_of(
+            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(off, k_chunk), :], buf.at[slot], sems.at[slot])
 
     # Several tiles per program: per-program fixed costs (scratch init, out
     # block pipeline, grid bookkeeping) measured ~3.2us each on v5e — at one
@@ -162,6 +175,8 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
         acc[...] = jnp.zeros_like(acc)
+        if split:
+            accm[...] = jnp.zeros_like(accm)
         tcar[...] = jnp.ones_like(tcar)
         live[...] = jnp.ones_like(live)
         ncon[...] = jnp.zeros_like(ncon)
@@ -173,15 +188,18 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             # l_cap is a multiple of 8, so the min() keeps the (8,128) HBM
             # row-tiling alignment; _clamp_segments guarantees it never
             # actually binds (pure lowering aid).
-            off = pl.multiple_of(
-                jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
-            return pltpu.make_async_copy(
-                slab_hbm.at[pl.ds(off, k_chunk), :], buf.at[slot],
-                sems.at[slot])
+            return chunk_dma(buf, sems, slot, start, i)
 
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
+        # Cross-tile prefetch: every tile's chunk-0 DMA is issued by its
+        # PREDECESSOR tile (end of its chunk loop, below) so the load rides
+        # under the predecessor's epilogue — the average tile has ~1 chunk,
+        # so intra-tile double buffering alone leaves a serial DMA wait per
+        # tile (~1-2us x thousands of tiles). Only the very first tile of
+        # the grid has no predecessor.
+        if g == 0:
+            @pl.when((prog == 0) & (n_chunks > 0))
+            def _():
+                get_dma(0, 0).start()
 
         def cond(state):
             i, alive = state
@@ -223,9 +241,18 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             mask = ok & (t_after >= T_EPS) & lv
             w = jnp.where(mask, alpha * t_before, 0.0)
 
-            # [P,K]x[K,C]: color+depth+all features in one MXU pass (dead
-            # pad lanes accumulate inside the same lane tiles — free)
-            acc[...] += _mmc(w, gg, ((0,), (0,)))
+            if split:
+                # features: [P,K]x[K,C_feat] MXU; rgb+depth: 4 exact-f32
+                # VPU broadcast-reductions into the [8,P] accumulator
+                acc[...] += _mmc(w, gg[:, LANE:], ((0,), (0,)))
+                for c in range(4):
+                    accm[c:c + 1, :] += jnp.sum(
+                        w * gg[:, CH_OFF + c:CH_OFF + c + 1], axis=0,
+                        keepdims=True)
+            else:
+                # [P,K]x[K,C]: color+depth+all features in one MXU pass
+                # (dead pad lanes ride inside the same lane tiles — free)
+                acc[...] += _mmc(w, gg, ((0,), (0,)))
 
             tcar[...] = t_in * jnp.exp(
                 jnp.sum(jnp.where(mask, log1m, 0.0), axis=0, keepdims=True))
@@ -248,9 +275,30 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         def _(i_exit=i_exit, n_chunks=n_chunks):
             get_dma(jax.lax.rem(i_exit, 2), i_exit).wait()
 
+        # issue the NEXT tile's chunk-0 load (slot 0: both slots are settled
+        # here) so it overlaps this tile's output writeback + the next
+        # tile's setup
+        if g + 1 < tiles_per_program:
+            nstart = starts_ref[t + 1]
+
+            @pl.when(counts_ref[t + 1] > 0)
+            def _(nstart=nstart):
+                chunk_dma(buf, sems, 0, nstart, 0).start()
+        else:
+            # first tile of the next program (clamped so the scalar read
+            # stays in bounds on the last program; the pl.when guards use)
+            tn = jnp.minimum(
+                (prog + 1) * tiles_per_program,
+                pl.num_programs(0) * tiles_per_program - 1)
+
+            @pl.when((prog + 1 < pl.num_programs(0))
+                     & (counts_ref[tn] > 0))
+            def _(tn=tn):
+                chunk_dma(buf, sems, 0, starts_ref[tn], 0).start()
+
         if split:
-            out_misc_ref[g] = acc[:, 0:LANE]
-            out_feat_ref[g] = acc[:, LANE:]
+            out_misc_ref[g] = accm[...]
+            out_feat_ref[g] = acc[...]
         else:
             out_misc_ref[g] = acc[...]
         # finalt/ncontrib are (T, 1, P) so their (G, 1, P) blocks satisfy the
@@ -268,9 +316,10 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
     of 128 and L a multiple of 8. T may be a contiguous SLICE of the global
     tile grid (tile-sharded rendering): ``tile_base`` (scalar int32, default
     0) is then the global index of tile 0 of the slice.
-    Returns (out_misc [T,P,128], out_feat [T,P,C_pad-128] or None,
-    final_T [T,P], n_contrib [T,P]); when C_pad == 128 everything lives in
-    out_misc and out_feat is None.
+    Returns (out_misc, out_feat, final_T [T,P], n_contrib [T,P]). In the
+    non-split layout (C_pad == 128): out_misc [T,P,128] holds everything
+    and out_feat is None. In the split layout: out_misc is CHANNEL-MAJOR
+    [T,8,P] (rows 0:3 rgb, 3 depth) and out_feat [T,P,C_pad-128].
     """
     t_tiles = starts.shape[0]
     p = grid.pixels_per_tile
@@ -293,11 +342,11 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
         split=split)
 
     out_specs = [
-        pl.BlockSpec((tpp, p, LANE if split else c_pad),
+        pl.BlockSpec((tpp, 8, p) if split else (tpp, p, c_pad),
                      lambda t, s, c, b: (t, 0, 0), memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct((t_pad, p, LANE if split else c_pad),
-                                      jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct(
+        (t_pad, 8, p) if split else (t_pad, p, c_pad), jnp.float32)]
     if split:
         out_specs.append(
             pl.BlockSpec((tpp, p, c_feat), lambda t, s, c, b: (t, 0, 0),
@@ -327,14 +376,15 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
-            pltpu.VMEM((p, c_pad), jnp.float32),
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.VMEM((1, p), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
+             pltpu.VMEM((p, c_feat if split else c_pad), jnp.float32)]
+            + ([pltpu.VMEM((8, p), jnp.float32)] if split else [])
+            + [pltpu.VMEM((1, p), jnp.float32),
+               pltpu.VMEM((1, p), jnp.float32),
+               pltpu.VMEM((1, p), jnp.int32),
+               pltpu.SemaphoreType.DMA((2,))]
+        ),
     )
     outs = pl.pallas_call(
         kernel,
@@ -362,14 +412,27 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 c_pad: int, l_cap: int, split: bool, fag: bool,
                 tiles_per_program: int):
     if split:
-        (gmisc_ref, gfeat_ref, gft_ref, finalt_ref, ncontrib_ref,
-         amask_ref, dinit_hbm, dslab_hbm,
-         buf, dbuf, suffix, tend, sems, osems, tailsem) = refs
+        # split layout: gmisc is CHANNEL-MAJOR [tpp, 8, P] (rows 0:3 rgb
+        # cotangent, 3 depth) and the misc-side matmuls collapse into 4
+        # exact-f32 VPU broadcast-reductions — a [P,128] misc block wastes
+        # >90% of its lanes AND a full [K,128] 6-pass MXU matmul per chunk
+        # on 4 live channels. suffix likewise shrinks to [8,P] (its feature
+        # half is only consumed under feature_alpha_grad).
+        if fag:
+            (gmisc_ref, gfeat_ref, gft_ref, finalt_ref, ncontrib_ref,
+             amask_ref, dinit_hbm, dslab_hbm,
+             buf, dbuf, suffix, suffix_f, tend, sems, osems, tailsem) = refs
+        else:
+            (gmisc_ref, gfeat_ref, gft_ref, finalt_ref, ncontrib_ref,
+             amask_ref, dinit_hbm, dslab_hbm,
+             buf, dbuf, suffix, tend, sems, osems, tailsem) = refs
+            suffix_f = None
     else:
         (gmisc_ref, gft_ref, finalt_ref, ncontrib_ref,
          amask_ref, dinit_hbm, dslab_hbm,
          buf, dbuf, suffix, tend, sems, osems, tailsem) = refs
         gfeat_ref = None
+        suffix_f = None
     del dinit_hbm  # aliased zero-init of dslab_hbm; only its buffer is used
     prog = pl.program_id(0)
     p = tile_w * tile_h
@@ -378,6 +441,13 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
     amask = amask_ref[...]      # [1, 128] alpha-coupling mask (misc lanes)
     triu_inc = _tri(k_chunk, "upper_inc")
     triu_str = _tri(k_chunk, "upper_str")
+
+    def read_dma(slot, start, i):
+        off = pl.multiple_of(
+            jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
+        return pltpu.make_async_copy(
+            slab_hbm.at[pl.ds(off, k_chunk), :], buf.at[slot],
+            sems.at[slot])
 
     def tail_dma(v, base):
         # exact-size tail write: `owned` is always a multiple of 8, so a
@@ -414,13 +484,18 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
         suffix[...] = jnp.zeros_like(suffix)
+        if suffix_f is not None:
+            suffix_f[...] = jnp.zeros_like(suffix_f)
         # g_finalt/finalt/ncontrib arrive as (T,1,P); ref[g] is a (1,P) plane
         tend[...] = finalt_ref[g]
 
-        gmisc = gmisc_ref[g]        # [P, 128] misc-lane pixel cotangents
+        # split: gmisc [8, P] channel-major (all 4 live channels couple
+        # into alpha); non-split: gmisc [P, 128] misc-lane layout with the
+        # amask selecting the coupled lanes
+        gmisc = gmisc_ref[g]
         gfeat = gfeat_ref[g] if split else None  # [P, C_feat]
         d_ft = gft_ref[g]           # [1, P] final_T cotangent
-        gmisc_a = gmisc * amask     # masked pixel grads driving dL/dalpha
+        gmisc_a = None if split else gmisc * amask
         ncontrib = ncontrib_ref[g]  # [1, P]
 
         # Chunks past the deepest contributor carry zero gradient — skip
@@ -436,19 +511,22 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             return pl.multiple_of(
                 jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
 
-        def get_dma(slot, i):
-            return pltpu.make_async_copy(
-                slab_hbm.at[pl.ds(chunk_off(i), k_chunk), :], buf.at[slot],
-                sems.at[slot])
+        def get_dma(slot, i, start=start):
+            return read_dma(slot, start, i)
 
         def put_dma(slot, i):
             return pltpu.make_async_copy(
                 dbuf.at[slot], dslab_hbm.at[pl.ds(chunk_off(i), k_chunk), :],
                 osems.at[slot])
 
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, n_chunks - 1).start()
+        # Cross-tile prefetch (see forward kernel): tile g's first read —
+        # its DEEPEST in-ncontrib chunk — was issued at the end of tile
+        # g-1's walk; only each program's first tile issues its own
+        # (ncontrib of the next program's block isn't visible here).
+        if g == 0:
+            @pl.when(n_chunks > 0)
+            def _():
+                get_dma(0, n_chunks - 1).start()
 
         def chunk_body(j, _, start=start, count=count, px=px, py=py,
                        n_chunks=n_chunks, gmisc=gmisc, gfeat=gfeat,
@@ -504,18 +582,28 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             t_before = tend[...] * jnp.exp(-revcum)      # [K, P]
             w = jnp.where(mask, alpha * t_before, 0.0)
 
-            # u_k = (slab_k . masked pixel grads) -> [K, P] MXU; the feature
-            # half joins only under feature_alpha_grad (the reference
-            # disables that coupling, backward.cu:575 — skipping it
-            # statically saves a [K,C_feat]x[C_feat,P] matmul per chunk)
-            u = _mmc(gg[:, 0:LANE], gmisc_a, ((1,), (1,)))
-            if split and fag:
-                u += _mmc(gg[:, LANE:], gfeat, ((1,), (1,)))
+            # u_k = (slab_k . alpha-coupled pixel grads) -> [K, P]. split:
+            # 4 exact-f32 broadcast FMAs over the channel-major gmisc; the
+            # feature half joins only under feature_alpha_grad (the
+            # reference disables that coupling, backward.cu:575 — skipping
+            # it statically saves a [K,C_feat]x[C_feat,P] matmul per chunk)
+            if split:
+                u = (gg[:, CH_OFF + 0:CH_OFF + 1] * gmisc[0:1, :]
+                     + gg[:, CH_OFF + 1:CH_OFF + 2] * gmisc[1:2, :]
+                     + gg[:, CH_OFF + 2:CH_OFF + 3] * gmisc[2:3, :]
+                     + gg[:, CH_OFF + 3:CH_OFF + 4] * gmisc[3:4, :])
+                if fag:
+                    u += _mmc(gg[:, LANE:], gfeat, ((1,), (1,)))
+            else:
+                u = _mmc(gg[:, 0:LANE], gmisc_a, ((1,), (1,)))
             m = w * u
             s_within = _mm(triu_str, m, ((1,), (0,)))
-            s_carry_v = jnp.sum(suffix[:, 0:LANE] * gmisc_a, axis=1)
-            if split and fag:
-                s_carry_v += jnp.sum(suffix[:, LANE:] * gfeat, axis=1)
+            if split:
+                s_carry_v = jnp.sum(suffix[0:4, :] * gmisc[0:4, :], axis=0)
+                if fag:
+                    s_carry_v += jnp.sum(suffix_f[...] * gfeat, axis=1)
+            else:
+                s_carry_v = jnp.sum(suffix[:, 0:LANE] * gmisc_a, axis=1)
             s_carry = s_carry_v[None, :] + d_ft * finalt_row   # [1, P]
             one_minus = 1.0 - alpha
             dl_da = jnp.where(
@@ -530,15 +618,27 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             d_cc = jnp.sum(-0.5 * dy * dy * dl_dpow, axis=1)
             zeros_k = jnp.zeros_like(d_x)
 
-            # d slab channels = W @ gpix (gpix geom lanes are zero, so the
-            # matmul leaves lanes 0:8 zero); then overwrite lanes 0:8 with
-            # the geometric grads.
-            dbuf[slot, :, 0:LANE] = _mmc(w, gmisc, ((1,), (0,)))
             if split:
+                # channel grads: rgb+depth via 4 VPU reductions packed with
+                # the geometric grads into ONE [K,16] lane write; features
+                # via the (required-full) [K,P]x[P,C_feat] matmul. Lanes
+                # 16:128 of dbuf carry stale values — the segment-sum's
+                # consumers only read lanes 0:12 and the feature block.
+                d_ch = [jnp.sum(w * gmisc[c:c + 1, :], axis=1)
+                        for c in range(4)]
+                dbuf[slot, :, 0:16] = jnp.stack(
+                    [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k,
+                     d_ch[0], d_ch[1], d_ch[2], d_ch[3],
+                     zeros_k, zeros_k, zeros_k, zeros_k], axis=1)
                 dbuf[slot, :, LANE:] = _mmc(w, gfeat, ((1,), (0,)))
-            dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
-                [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k],
-                axis=1)
+            else:
+                # d slab channels = W @ gpix (gpix geom lanes are zero, so
+                # the matmul leaves lanes 0:8 zero); then overwrite lanes
+                # 0:8 with the geometric grads.
+                dbuf[slot, :, 0:LANE] = _mmc(w, gmisc, ((1,), (0,)))
+                dbuf[slot, :, 0:GEOM_LANES] = jnp.stack(
+                    [d_x, d_y, d_ca, d_cb, d_cc, dl_dop, zeros_k, zeros_k],
+                    axis=1)
 
             # j == 0 is the deepest chunk: its window may overhang the next
             # tile's segment rows, so write exactly the owned rows (one
@@ -561,8 +661,20 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             def _():
                 put_dma(slot, i).start()
 
-            # suffix += sum_k w_k * slab_k  -> [P, C]
-            suffix[...] += _mmc(w, gg, ((0,), (0,)))
+            # suffix += sum_k w_k * slab_k
+            if split:
+                # only the 4 live channels are ever consumed (s_carry);
+                # 4 [K,P] broadcast-reductions replace a [P,K]x[K,C_pad]
+                # 6-pass MXU matmul. The feature half is needed only under
+                # feature_alpha_grad.
+                for c in range(4):
+                    suffix[c:c + 1, :] += jnp.sum(
+                        w * gg[:, CH_OFF + c:CH_OFF + c + 1], axis=0,
+                        keepdims=True)
+                if fag:
+                    suffix_f[...] += _mmc(w, gg[:, LANE:], ((0,), (0,)))
+            else:
+                suffix[...] += _mmc(w, gg, ((0,), (0,)))
             tend[...] = tend[...] * jnp.exp(-jnp.sum(log1m, axis=0,
                                                      keepdims=True))
             return 0
@@ -573,6 +685,20 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         flush_tail()
 
         jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        # cross-tile prefetch: issue the next tile's first read (its deepest
+        # in-ncontrib chunk) into slot 0 — all buf reads of this tile are
+        # settled by the loop, and the load overlaps the put-waits below +
+        # the next tile's setup
+        if g + 1 < tiles_per_program:
+            ncount = counts_ref[t + 1]
+            nstart = starts_ref[t + 1]
+            n_nc = jnp.minimum(pl.cdiv(ncount, k_chunk),
+                               pl.cdiv(jnp.max(ncontrib_ref[g + 1]), k_chunk))
+
+            @pl.when(n_nc > 0)
+            def _(nstart=nstart, n_nc=n_nc):
+                read_dma(0, nstart, n_nc - 1).start()
 
         # whole-chunk writes still in flight (tail-path waits are deferred)
         @pl.when((n_chunks >= 3)
@@ -602,14 +728,17 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
              tiles_per_program: int = 8, tile_base=None):
     """Backward kernel: per-instance gradients in slab layout.
 
-    gpix_misc [T,P,128] cotangent on the misc lanes (geom lanes zero, rgb at
-    8:11, depth at 11, plus small features at 12.. in the non-split layout);
+    gpix_misc: non-split layout [T,P,128] misc-lane cotangents (geom lanes
+    zero, rgb at 8:11, depth at 11, small features at 12..), with
+    alpha_mask [1,128] selecting the alpha-coupled lanes; split layout
+    CHANNEL-MAJOR [T,8,P] (rows 0:3 rgb, 3 depth — all coupled).
     gpix_feat [T,P,C_pad-128] feature cotangent (None when the slab is 128
-    lanes wide); g_finalt [T,P] cotangent on final_T; alpha_mask [1,128]
-    selects misc lanes that couple into dL/dalpha. T may be a contiguous
+    lanes wide); g_finalt [T,P] cotangent on final_T. T may be a contiguous
     slice of the global tile grid with ``tile_base`` its global offset.
     Returns d_slab [L,C_pad]: lanes 0:6 = (d_x, d_y, d_conic*, d_opacity),
-    remaining lanes = channel grads in slab layout.
+    remaining lanes = channel grads in slab layout (split-layout lanes
+    16:128 are unspecified — consumers read lanes 0:12 + the feature
+    block only).
     """
     t_tiles = starts.shape[0]
     p = grid.pixels_per_tile
@@ -626,8 +755,9 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
         counts = jnp.concatenate([counts, zpad])
         zpad3 = jnp.zeros((t_pad - t_tiles, p), gpix_misc.dtype)
         gpix_misc = jnp.concatenate(
-            [gpix_misc, jnp.zeros((t_pad - t_tiles, p, LANE),
-                                  gpix_misc.dtype)])
+            [gpix_misc,
+             jnp.zeros((t_pad - t_tiles,) + gpix_misc.shape[1:],
+                       gpix_misc.dtype)])
         if split:
             gpix_feat = jnp.concatenate(
                 [gpix_feat, jnp.zeros((t_pad - t_tiles, p, c_feat),
@@ -648,7 +778,8 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
         tile_base = jnp.asarray(tile_base, jnp.int32).reshape((1,))
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # slab
-        pl.BlockSpec((tpp, p, LANE), lambda t, s, c, b: (t, 0, 0),
+        pl.BlockSpec((tpp, 8, p) if split else (tpp, p, LANE),
+                     lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # gpix_misc
     ]
     args = [starts, counts, tile_base, slab, gpix_misc]
@@ -680,15 +811,18 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # d_slab
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
-            pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
-            pltpu.VMEM((p, c_pad), jnp.float32),
-            pltpu.VMEM((1, p), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((2, k_chunk, c_pad), jnp.float32),
+             pltpu.VMEM((2, k_chunk, c_pad), jnp.float32)]
+            + ([pltpu.VMEM((8, p), jnp.float32)] if split
+               else [pltpu.VMEM((p, c_pad), jnp.float32)])
+            + ([pltpu.VMEM((p, c_feat), jnp.float32)]
+               if split and feature_alpha_grad else [])
+            + [pltpu.VMEM((1, p), jnp.float32),
+               pltpu.SemaphoreType.DMA((2,)),
+               pltpu.SemaphoreType.DMA((2,)),
+               pltpu.SemaphoreType.DMA(())]
+        ),
     )
     (d_slab,) = pl.pallas_call(
         kernel,
@@ -778,13 +912,18 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
     res = (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
            xy.shape[0], f_dim, tile_base)
     if out_feat is not None:
+        # split layout: out_misc is channel-major [T,8,P]
+        color = out_misc[:, 0:3, :].transpose(0, 2, 1)
+        depth = out_misc[:, 3, :]
         feature = out_feat[:, :, 0:f_dim]
     else:
+        color = out_misc[:, :, CH_OFF:CH_OFF + 3]
+        depth = out_misc[:, :, CH_OFF + 3]
         feature = out_misc[:, :, fo:fo + f_dim]
     return PallasCompositeOutput(
-        color=out_misc[:, :, CH_OFF:CH_OFF + 3],
+        color=color,
         feature=feature,
-        depth=out_misc[:, :, CH_OFF + 3], final_T=finalt,
+        depth=depth, final_T=finalt,
         n_contrib=ncontrib), res
 
 
@@ -797,15 +936,16 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
     split = c_pad > LANE
     t_tiles, p = finalt.shape
 
-    # Misc-lane cotangent block, assembled in ONE pass (dynamic-update-slice
-    # chains over [T,P,C] arrays cost ~12ms/step at 1Mpix). In the split
-    # layout the feature cotangent is passed through with no copy at all
-    # (or one pad when F < C_feat).
-    zeros8 = jnp.zeros((t_tiles, p, GEOM_LANES), jnp.float32)
+    # Pixel-cotangent assembly. Split layout: channel-major [T,8,P] misc
+    # (tiny — 16x less HBM than a [T,P,128] lane block) + the feature
+    # cotangent passed through with no copy at all (or one pad when
+    # F < C_feat). Non-split: one-pass [T,P,C_pad] lane block
+    # (dynamic-update-slice chains cost ~12ms/step at 1Mpix).
     if split:
-        gpix_misc = jnp.concatenate([
-            zeros8, d_color, d_depth[..., None],
-            jnp.zeros((t_tiles, p, LANE - MISC_LANES), jnp.float32)], axis=2)
+        zp = jnp.zeros((t_tiles, p), jnp.float32)
+        gpix_misc = jnp.stack(
+            [d_color[..., 0], d_color[..., 1], d_color[..., 2], d_depth,
+             zp, zp, zp, zp], axis=1)
         c_feat = c_pad - LANE
         if f_dim == c_feat:
             gpix_feat = d_feature
@@ -814,6 +954,7 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
                 d_feature,
                 jnp.zeros((t_tiles, p, c_feat - f_dim), jnp.float32)], axis=2)
     else:
+        zeros8 = jnp.zeros((t_tiles, p, GEOM_LANES), jnp.float32)
         gpix_misc = jnp.concatenate([
             zeros8, d_color, d_depth[..., None], d_feature,
             jnp.zeros((t_tiles, p, c_pad - fo - f_dim), jnp.float32)], axis=2)

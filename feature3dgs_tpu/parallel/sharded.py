@@ -184,7 +184,8 @@ class _StateView:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "ocfg", "rcfg", "speedup", "max_sh_degree"))
+    static_argnames=("mesh", "ocfg", "rcfg", "speedup", "max_sh_degree"),
+    donate_argnums=(0,))  # TrainState buffers alias their updates in-place
 def sharded_train_step(
     ts,                          # train.trainer.TrainState
     cam_arrays: dict,            # view/proj/campos/tan_fovx/tan_fovy, leading dim B

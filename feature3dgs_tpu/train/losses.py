@@ -136,6 +136,42 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
     return _apply_separable(img, ry, rx)
 
 
+def resize_bilinear_from_tiles(tiles: jnp.ndarray, grid,
+                               out_h: int, out_w: int) -> jnp.ndarray:
+    """align_corners bilinear resize STRAIGHT from the rasterizer's tile
+    layout [num_tiles, pixels_per_tile, C] to [out_h, out_w, C].
+
+    Avoids materializing the [H, W, C] image (≈0.5 GB at 1 Mpix x 128
+    channels) that tiles_to_image + resize_bilinear_align_corners would
+    round-trip through HBM in both the forward and the transposed backward:
+    the tile->image permutation is folded into the interpolation operators
+    by reshaping them over (tile, within-tile) factors and contracting both
+    with one dot_general per axis. The VJP is the transposed contraction —
+    the feature cotangent flows back in tile layout with zero extra copies.
+    """
+    gy, gx, th, tw = grid.grid_y, grid.grid_x, grid.tile_h, grid.tile_w
+    c = tiles.shape[-1]
+    if (grid.height, grid.width) == (out_h, out_w):
+        from feature3dgs_tpu.ops.rasterize import tiles_to_image
+        return tiles_to_image(tiles, grid)  # identity resize: plain assembly
+    pr = SEPARABLE_PRECISION
+    ry = _interp_matrix(grid.height, out_h)       # [out_h, H]
+    rx = _interp_matrix(grid.width, out_w)        # [out_w, W]
+    # pad to the tile-covered extent (weights on pad rows/cols are zero)
+    ry = np.pad(ry, [(0, 0), (0, gy * th - grid.height)])
+    rx = np.pad(rx, [(0, 0), (0, gx * tw - grid.width)])
+    ryt = jnp.asarray(ry.reshape(out_h, gy, th))
+    rxt = jnp.asarray(rx.reshape(out_w, gx, tw))
+    x = tiles.reshape(gy, gx, th, tw, c)
+    # contract (gy, th): [out_h, gy, th] x [gy, gx, th, tw, C] -> [out_h, gx, tw, C]
+    t1 = jax.lax.dot_general(ryt, x, (((1, 2), (0, 2)), ((), ())),
+                             precision=pr)
+    # contract (gx, tw): [out_w, gx, tw] x [out_h, gx, tw, C] -> [out_w, out_h, C]
+    t2 = jax.lax.dot_general(rxt, t1, (((1, 2), (1, 2)), ((), ())),
+                             precision=pr)
+    return t2.transpose(1, 0, 2)
+
+
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2):
     """(1-λ)·L1 + λ·(1-SSIM) — train.py:105. Returns (loss, l1) pair."""
     ll1 = l1_loss(image, gt)

@@ -63,7 +63,11 @@ class TrainState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ocfg", "rcfg", "speedup", "max_sh_degree"))
+    static_argnames=("ocfg", "rcfg", "speedup", "max_sh_degree"),
+    # donate the TrainState: params/adam/gstate buffers alias their updates
+    # in-place (removes ~4ms/step of XLA copy ops for the 100K-Gaussian
+    # bench config; callers never reuse the old state)
+    donate_argnums=(0,))
 def train_step(
     ts: TrainState,
     cam: CameraView,
@@ -84,8 +88,11 @@ def train_step(
         out = renderer.render(params, gstate, cam, bg=bg, config=rcfg,
                               ndc_offset=ndc_offset)
         rgb, ll1 = L.rgb_loss(out.color, gt_image, ocfg.lambda_dssim)
-        fmap = L.resize_bilinear_align_corners(
-            out.feature, gt_feature.shape[0], gt_feature.shape[1])
+        # resize straight from tile layout: the [H,W,F] feature image is
+        # never materialized (out.feature gets DCE'd by XLA)
+        fmap = L.resize_bilinear_from_tiles(
+            out.feature_tiles, rcfg.grid(cam.width, cam.height),
+            gt_feature.shape[0], gt_feature.shape[1])
         if speedup:
             fmap = apply_decoder(decoder, fmap)
         ll1_feat = L.l1_loss(fmap, gt_feature)

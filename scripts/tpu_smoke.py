@@ -32,39 +32,44 @@ def main() -> int:
     from feature3dgs_tpu.ops import RasterConfig, rasterize
 
     cam = make_camera(width=128, height=96)
-    g = random_gaussians(n=500, f_dim=32, seed=0)
-    kw = dict(scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
-              sh_degree=2, bg=jnp.asarray([0.3, 0.2, 0.1]))
-
-    def loss_fn(cfg):
-        def f(means, op, feat):
-            out = rasterize(means, op, feat, cam,
-                            config=cfg, **kw)
-            return (jnp.mean(out.color) + jnp.mean(jnp.abs(out.feature))
-                    + jnp.mean(out.depth) + jnp.mean(out.alpha))
-        return f
-
-    cfg_p = RasterConfig(instance_capacity=1 << 13, tile_capacity=1 << 9,
-                         chunk=64, backend="pallas")
-    cfg_x = RasterConfig(instance_capacity=1 << 13, tile_capacity=1 << 9,
-                         chunk=64, backend="xla")
-
-    vgp = jax.jit(jax.value_and_grad(loss_fn(cfg_p), argnums=(0, 1, 2)))
-    vgx = jax.jit(jax.value_and_grad(loss_fn(cfg_x), argnums=(0, 1, 2)))
-    args = (g["means3d"], g["opacities"], g["feat"])
-    lp, gp = vgp(*args)
-    lx, gx = vgx(*args)
-    jax.block_until_ready(lp)
-
     ok = True
-    dl = abs(float(lp) - float(lx))
-    print(f"loss pallas={float(lp):.6f} xla={float(lx):.6f} |d|={dl:.2e}")
-    ok &= dl < 1e-4
-    for name, a, b in zip(("means", "opacity", "feat"), gp, gx):
-        s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
-        d = float(jnp.max(jnp.abs(a - b))) / s
-        print(f"grad {name}: rel max diff {d:.2e}")
-        ok &= d < 1e-4
+    # f_dim 32 exercises the non-split (everything-in-one-lane-tile) kernel
+    # layout, 128 the split channel-major layout — both must lower and
+    # match the XLA compositor on hardware.
+    for f_dim in (32, 128):
+        g = random_gaussians(n=500, f_dim=f_dim, seed=0)
+        kw = dict(scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+                  sh_degree=2, bg=jnp.asarray([0.3, 0.2, 0.1]))
+
+        def loss_fn(cfg):
+            def f(means, op, feat):
+                out = rasterize(means, op, feat, cam,
+                                config=cfg, **kw)
+                return (jnp.mean(out.color) + jnp.mean(jnp.abs(out.feature))
+                        + jnp.mean(out.depth) + jnp.mean(out.alpha))
+            return f
+
+        cfg_p = RasterConfig(instance_capacity=1 << 13, tile_capacity=1 << 9,
+                             chunk=64, backend="pallas")
+        cfg_x = RasterConfig(instance_capacity=1 << 13, tile_capacity=1 << 9,
+                             chunk=64, backend="xla")
+
+        vgp = jax.jit(jax.value_and_grad(loss_fn(cfg_p), argnums=(0, 1, 2)))
+        vgx = jax.jit(jax.value_and_grad(loss_fn(cfg_x), argnums=(0, 1, 2)))
+        args = (g["means3d"], g["opacities"], g["feat"])
+        lp, gp = vgp(*args)
+        lx, gx = vgx(*args)
+        jax.block_until_ready(lp)
+
+        dl = abs(float(lp) - float(lx))
+        print(f"[F={f_dim}] loss pallas={float(lp):.6f} "
+              f"xla={float(lx):.6f} |d|={dl:.2e}")
+        ok &= dl < 1e-4
+        for name, a, b in zip(("means", "opacity", "feat"), gp, gx):
+            s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
+            d = float(jnp.max(jnp.abs(a - b))) / s
+            print(f"[F={f_dim}] grad {name}: rel max diff {d:.2e}")
+            ok &= d < 1e-4
     print("TPU smoke", "OK" if ok else "FAILED")
     return 0 if ok else 1
 

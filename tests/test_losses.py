@@ -127,3 +127,30 @@ def test_lpips_jax_matches_torch_reference(tmp_path):
         lin = torch.tensor(weights[f"lin{j}_w"])[None, :, None, None]
         want += float((d2 * lin).sum(1).mean())
     assert abs(got - want) <= 1e-4 * max(abs(want), 1e-3), (got, want)
+
+
+def test_resize_from_tiles_matches_image_path():
+    """resize_bilinear_from_tiles folds the tile->image permutation into the
+    interpolation contraction; must equal tiles_to_image + image resize."""
+    import jax
+    from feature3dgs_tpu.ops.binning import TileGrid
+    from feature3dgs_tpu.ops.rasterize import tiles_to_image
+    grid = TileGrid(width=50, height=35, tile_w=16, tile_h=16)
+    rng = np.random.RandomState(0)
+    tiles = jnp.asarray(rng.randn(grid.num_tiles, grid.pixels_per_tile, 7)
+                        .astype(np.float32))
+    want = L.resize_bilinear_align_corners(tiles_to_image(tiles, grid), 19, 23)
+    got = L.resize_bilinear_from_tiles(tiles, grid, 19, 23)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # identity-size short-circuit
+    np.testing.assert_allclose(
+        L.resize_bilinear_from_tiles(tiles, grid, 35, 50),
+        tiles_to_image(tiles, grid), atol=0)
+    # gradients agree (the transposed contraction vs transpose+resize^T)
+    t = jnp.asarray(rng.randn(19, 23, 7).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(
+        jnp.abs(L.resize_bilinear_from_tiles(x, grid, 19, 23) - t)))(tiles)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.abs(
+        L.resize_bilinear_align_corners(tiles_to_image(x, grid), 19, 23)
+        - t)))(tiles)
+    np.testing.assert_allclose(g1, g2, atol=1e-5)

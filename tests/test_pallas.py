@@ -206,3 +206,45 @@ def test_rasterize_backend_interpret_end_to_end():
     np.testing.assert_allclose(op_.color, ox.color, atol=1e-5)
     np.testing.assert_allclose(op_.feature, ox.feature, atol=1e-5)
     np.testing.assert_allclose(op_.alpha, ox.alpha, atol=1e-5)
+
+
+def test_pallas_split_feature_alpha_grad():
+    """split layout + feature_alpha_grad=True exercises the suffix_f /
+    feature-into-alpha matmul path of the backward kernel."""
+    g = random_gaussians(n=80, f_dim=128, seed=9)
+    pre = proj_lib.preprocess(g["means3d"], g["opacities"], CAM,
+                              scales=g["scales"], rotations=g["rotations"],
+                              shs=g["shs"], sh_degree=2)
+    rect_min, rect_max = proj_lib.tile_rect(
+        pre.xy, pre.radius, GRID.grid_x, GRID.grid_y, GRID.tile_w, GRID.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    bins = binning_lib.bin_gaussians(
+        rect_min, rect_max, pre.depth, valid, GRID,
+        instance_capacity=CFG.instance_capacity,
+        tile_capacity=CFG.tile_capacity)
+    rng = np.random.RandomState(2)
+    tf = jnp.asarray(rng.randn(GRID.num_tiles, 256, 128).astype(np.float32))
+    tc = jnp.asarray(rng.rand(GRID.num_tiles, 256, 3).astype(np.float32))
+
+    def loss_of(fn):
+        def loss(xy, op, feat, rgb):
+            o = fn(xy, op, feat, rgb)
+            return (jnp.mean(jnp.abs(o.feature - tf))
+                    + jnp.mean(jnp.abs(o.color - tc)) + jnp.mean(o.depth))
+        return loss
+
+    ref_fn = lambda xy, op, feat, rgb: composite(
+        bins.tile_lists, tile_pixel_coords(GRID), xy, pre.conic, op, rgb,
+        feat, pre.depth, CFG.chunk, "highest", True)
+    pal_fn = lambda xy, op, feat, rgb: composite_pallas(
+        bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
+        xy, pre.conic, op, (rgb, feat), pre.depth, None, GRID, 64,
+        True, True)
+    args = (pre.xy, pre.opacity, g["feat"], pre.rgb)
+    gr = jax.grad(loss_of(ref_fn), argnums=(0, 1, 2, 3))(*args)
+    gp = jax.grad(loss_of(pal_fn), argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(["xy", "op", "feat", "rgb"], gp, gr):
+        s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-6, err_msg=f"split+fag grad {name}")
