@@ -248,3 +248,25 @@ def test_pallas_split_feature_alpha_grad():
         s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
         np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
                                    atol=5e-6, err_msg=f"split+fag grad {name}")
+
+
+@pytest.mark.parametrize("f_dim", [200, 256])
+def test_pallas_wide_feature_dims(f_dim):
+    """F=200 exercises a feature block with pad lanes (c_feat=256 > F);
+    F=256 is the reference SAM config. Forward parity vs XLA."""
+    g = random_gaussians(n=100, f_dim=f_dim, seed=11)
+    pre = proj_lib.preprocess(g["means3d"], g["opacities"], CAM,
+                              scales=g["scales"], rotations=g["rotations"],
+                              shs=g["shs"], sh_degree=2)
+    rect_min, rect_max = proj_lib.tile_rect(
+        pre.xy, pre.radius, GRID.grid_x, GRID.grid_y, GRID.tile_w, GRID.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    bins = binning_lib.bin_gaussians(
+        rect_min, rect_max, pre.depth, valid, GRID,
+        instance_capacity=CFG.instance_capacity,
+        tile_capacity=CFG.tile_capacity)
+    ref, pal = _run_both(g, pre, bins)
+    np.testing.assert_allclose(pal.color, ref.color, atol=1e-5)
+    np.testing.assert_allclose(pal.feature, ref.feature, atol=1e-5)
+    np.testing.assert_allclose(pal.final_T, ref.final_T, atol=1e-5)
