@@ -40,6 +40,7 @@ def profiled_step_ms(step_and_block, n: int = 3) -> float:
                    if e.get("ph") == "X"
                    and not e.get("name", "$").startswith("$")
                    and "block" not in e.get("name", "")
+                   and "ompile" not in e.get("name", "")
                    and "trace" not in e.get("name", "")),
                   reverse=True)
     return float(np.median(durs[:n])) / 1000.0

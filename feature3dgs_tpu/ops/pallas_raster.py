@@ -18,10 +18,16 @@ portable fallback and correctness oracle):
                    lane-tile aligned so the feature cotangent feeds the
                    backward kernel with ZERO copies — at 128-d features the
                    gpix assembly passes cost ~12ms/step otherwise)
-    so each chunk is a single aligned DMA, the per-chunk compute is [K, P]
-    VPU math plus one [P,K]x[K,C] MXU matmul that accumulates color, depth
-    and all feature channels at once (dead pad lanes ride along inside the
-    same lane tiles — zero marginal MXU cost).
+    so each chunk is a single aligned DMA. Per-chunk compute is [K, P] VPU
+    math plus MXU matmuls for the scans and the feature channels. In the
+    split layout (F > 116) the PIXEL-side misc quantities (rgb+depth) are
+    channel-major [8, P]: their accumulation/coupling/grad matmuls become
+    4 exact-f32 VPU broadcast-reductions (a [K,128] HIGHEST matmul wastes
+    >90% of its lanes on 4 live channels) and the misc output/cotangent
+    HBM arrays are [T,8,P] instead of [T,P,128] — 16x less traffic.
+  * Every tile's first chunk DMA is issued by its PREDECESSOR tile
+    (cross-tile prefetch): the average tile has ~1 chunk, so intra-tile
+    double buffering alone would leave a serial DMA wait per tile.
   * Prefix/suffix scans over the chunk (transmittance products, dL/dalpha
     suffix sums) are triangular-matrix matmuls on the MXU — Mosaic has no
     cumsum lowering, and this is the idiomatic TPU form anyway.
@@ -877,11 +883,12 @@ def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
     return slab, seg_ids
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
                      xy, conic, opacity, rgbfeat, depth, tile_base,
                      grid: TileGrid, k_chunk: int, feature_alpha_grad: bool,
-                     interpret: bool) -> PallasCompositeOutput:
+                     interpret: bool,
+                     tiles_per_program: int = 8) -> PallasCompositeOutput:
     """Pallas-kernel compositing, drop-in parallel of composite.composite.
 
     gid_sorted is BinningResult.gid_sorted (8-aligned segments with -1
@@ -894,13 +901,13 @@ def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
     """
     out, _ = _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic,
                      opacity, rgbfeat, depth, tile_base, grid, k_chunk,
-                     feature_alpha_grad, interpret)
+                     feature_alpha_grad, interpret, tiles_per_program)
     return out
 
 
 def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
             rgbfeat, depth, tile_base, grid, k_chunk, feature_alpha_grad,
-            interpret):
+            interpret, tiles_per_program=8):
     rgb, feat = rgbfeat
     f_dim = feat.shape[-1]
     fo = feat_offset(f_dim)
@@ -908,7 +915,8 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
         gid_sorted, xy, conic, opacity, rgb, feat, depth)
     out_misc, out_feat, finalt, ncontrib = forward(
         tile_starts, tile_counts, slab, grid, k_chunk=k_chunk,
-        interpret=interpret, tile_base=tile_base)
+        interpret=interpret, tile_base=tile_base,
+        tiles_per_program=tiles_per_program)
     res = (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
            xy.shape[0], f_dim, tile_base)
     if out_feat is not None:
@@ -927,7 +935,8 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
         n_contrib=ncontrib), res
 
 
-def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
+def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, tiles_per_program,
+            res, cts):
     (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
      n, f_dim, tile_base) = res
     d_color, d_feature, d_depth, d_finalt, _d_nc = cts
@@ -969,7 +978,7 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, res, cts):
         tile_starts, tile_counts, slab, gpix_misc, gpix_feat, d_finalt,
         finalt, ncontrib, jnp.asarray(amask), grid, k_chunk=k_chunk,
         feature_alpha_grad=feature_alpha_grad, interpret=interpret,
-        tile_base=tile_base)
+        tile_base=tile_base, tiles_per_program=tiles_per_program)
 
     # per-instance -> per-Gaussian (the atomicAdd/all-reduce analog)
     dg = jax.ops.segment_sum(d_slab, seg_ids, num_segments=n + 1)[:n]

@@ -71,6 +71,9 @@ class RasterConfig:
     # the kernels in interpreter mode (CPU debugging); 'auto' = pallas on
     # TPU, xla elsewhere.
     backend: str = "auto"
+    # tiles per Pallas program (amortizes per-program pipeline overhead;
+    # raise only if VMEM allows at the chosen feature width)
+    tiles_per_program: int = 8
 
     def grid(self, width: int, height: int) -> TileGrid:
         return TileGrid(width=width, height=height,
@@ -178,7 +181,8 @@ def rasterize(
             bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
             xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
             pre.depth, None, grid, max(config.chunk, 8),
-            config.feature_alpha_grad, config.backend == "pallas_interpret")
+            config.feature_alpha_grad, config.backend == "pallas_interpret",
+            config.tiles_per_program)
     else:
         out = composite_lib.composite(
             bins.tile_lists, composite_lib.tile_pixel_coords(grid, xy.dtype),

@@ -123,7 +123,8 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
             starts_l, counts_l, bins.gid_sorted, bins.total,
             xy, pre.conic, pre.opacity, (pre.rgb, G.get_semantic(params)),
             pre.depth, tile_base, grid, max(config.chunk, 8),
-            config.feature_alpha_grad, backend == "pallas_interpret")
+            config.feature_alpha_grad, backend == "pallas_interpret",
+            config.tiles_per_program)
     else:
         pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)
         tl = _pad_tiles(bins.tile_lists, n_tile, -1)
@@ -149,7 +150,10 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
         "total_instances": bins.total,
         "max_tile_count": jnp.max(bins.tile_counts),
     }
-    return (tiles_to_image(color, grid), tiles_to_image(feature, grid),
+    # feature stays in TILE layout: the train loss resizes straight from it
+    # (losses.resize_bilinear_from_tiles) without materializing the
+    # [H,W,F] image; forward-render callers assemble it themselves.
+    return (tiles_to_image(color, grid), feature,
             tiles_to_image(depth, grid), aux)
 
 
@@ -161,9 +165,10 @@ def rasterize_tile_sharded(params, state, cam: CameraView, *, bg,
 
     def shard_fn(params, state_alive, bg):
         st = _StateView(state, state_alive)
-        color, feature, depth, aux = _local_composite(
+        color, feature_tiles, depth, aux = _local_composite(
             params, st, cam, bg, config, n_tile)
-        return color, feature, depth
+        return color, tiles_to_image(feature_tiles, config.grid(
+            cam.width, cam.height)), depth
 
     # alive passed explicitly so the pytree in_specs stay simple
     specs_in = (jax.tree.map(lambda _: P(), params), P(), P())
@@ -237,12 +242,13 @@ def sharded_train_step(
                 cam = CameraView(view=view[i], proj=proj[i], campos=campos[i],
                                  tan_fovx=tfx[i], tan_fovy=tfy[i],
                                  width=width, height=height)
-                color, feature, depth, aux = _local_composite(
+                color, feature_tiles, depth, aux = _local_composite(
                     params, st, cam, bg, rcfg, n_tile,
                     ndc_offset=ndc_offset)
                 rgb_term, l1_i = L.rgb_loss(color, gt_img[i], ocfg.lambda_dssim)
-                fmap = L.resize_bilinear_align_corners(
-                    feature, gt_feat.shape[1], gt_feat.shape[2])
+                fmap = L.resize_bilinear_from_tiles(
+                    feature_tiles, rcfg.grid(width, height),
+                    gt_feat.shape[1], gt_feat.shape[2])
                 if speedup:
                     fmap = apply_decoder(decoder, fmap)
                 lf_i = L.l1_loss(fmap, gt_feat[i])

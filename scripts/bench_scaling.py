@@ -121,7 +121,8 @@ def main(argv=None):
             jax.block_until_ready(m["loss"])
 
         with jax.set_mesh(mesh):
-            step_and_block()  # compile
+            step_and_block()  # compile (uncommitted inputs)
+            step_and_block()  # recompile: outputs come back mesh-committed
             if platform in ("tpu", "axon"):
                 step_ms = profiled_step_ms(step_and_block, n=args.iters)
             else:

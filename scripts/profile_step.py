@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=1216)
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--instance_capacity", type=int, default=1 << 19)
+    ap.add_argument("--tpp", type=int, default=8,
+                    help="kernel tiles_per_program")
+    ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--save", type=str, default=None,
                     help="also copy the raw trace.json.gz here")
     args = ap.parse_args(argv)
@@ -79,7 +82,8 @@ def main(argv=None):
         rng.randn(H // 2, W // 2, args.f_dim).astype(np.float32) * 0.1)
     bg = jnp.zeros(3)
     rcfg = RasterConfig(instance_capacity=args.instance_capacity,
-                        tile_capacity=1 << 11, chunk=128)
+                        tile_capacity=1 << 11, chunk=args.chunk,
+                        tiles_per_program=args.tpp)
     ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),
                     decoder=None, decoder_adam=None)
     f = jax.jit(functools.partial(
