@@ -38,11 +38,6 @@ def main(argv=None):
                     help="also copy the raw trace.json.gz here")
     args = ap.parse_args(argv)
 
-    import bench
-    bench.F_DIM = args.f_dim
-    bench.N_GAUSS = args.n_gauss
-    bench.W, bench.H = args.width, args.height
-
     import functools
     import math
     import time
