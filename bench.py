@@ -105,29 +105,16 @@ def main(argv=None):
     compile_s = time.time() - t0
 
     def profiled_step_ms(n=3):
-        import glob
-        import gzip
-        import tempfile
-        d = tempfile.mkdtemp(prefix="benchtrace")
-        cur = ts2
-        with jax.profiler.trace(d):
-            for i in range(n):
-                cur, m = f(cur, cam, gt_image, gt_feature, bg,
-                           jnp.int32(i + 2))
-                jax.block_until_ready(m["loss"])
-        path = sorted(glob.glob(
-            os.path.join(d, "plugins/profile/*/*.trace.json.gz")))[-1]
-        with gzip.open(path) as fh:
-            tr = json.load(fh)
-        durs = sorted((e.get("dur", 0) for e in tr.get("traceEvents", [])
-                       if e.get("ph") == "X"
-                       and not e.get("name", "$").startswith("$")
-                       and "block" not in e.get("name", "")
-                       and "trace" not in e.get("name", "")),
-                      reverse=True)
-        # the n largest device events are the n executable spans
-        spans = durs[:n]
-        return float(np.median(spans)) / 1000.0, cur
+        from feature3dgs_tpu.bench_utils import profiled_step_ms as _pms
+        state = {"ts": ts2, "i": 0}
+
+        def step_and_block():
+            state["i"] += 1
+            state["ts"], m = f(state["ts"], cam, gt_image, gt_feature, bg,
+                               jnp.int32(state["i"] + 1))
+            jax.block_until_ready(m["loss"])
+
+        return _pms(step_and_block, n=n), state["ts"]
 
     method = "profiler"
     try:

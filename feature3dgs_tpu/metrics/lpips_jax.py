@@ -82,20 +82,17 @@ def _vgg_taps(x, weights):
     return taps
 
 
-def lpips_distance(img_a, img_b, weights=None) -> float:
-    """LPIPS(vgg) between two [H,W,3] images in [0,1] (the reference's
-    lpips(img, gt, net_type='vgg'), metrics.py:83)."""
+@functools.lru_cache(maxsize=1)
+def _jitted_dist():
+    """Module-level jitted distance (weights passed as a pytree argument):
+    a per-call closure would retrace+recompile the whole VGG16 for every
+    image pair — with one cached function, compilation happens once per
+    image SHAPE."""
     import jax
     import jax.numpy as jnp
 
-    weights = weights or _default_weights()
-    if weights is None:
-        raise RuntimeError(
-            "no LPIPS weights: set LPIPS_WEIGHTS to the npz produced by "
-            "scripts/convert_lpips_weights.py")
-
     @jax.jit
-    def dist(a, b):
+    def dist(a, b, weights):
         ta = _vgg_taps(a * 2.0 - 1.0, weights)
         tb = _vgg_taps(b * 2.0 - 1.0, weights)
         total = 0.0
@@ -109,5 +106,18 @@ def lpips_distance(img_a, img_b, weights=None) -> float:
             total = total + jnp.mean(jnp.sum(d2 * lin, axis=-1))
         return total
 
-    return float(dist(jnp.asarray(img_a, jnp.float32),
-                      jnp.asarray(img_b, jnp.float32)))
+    return dist
+
+
+def lpips_distance(img_a, img_b, weights=None) -> float:
+    """LPIPS(vgg) between two [H,W,3] images in [0,1] (the reference's
+    lpips(img, gt, net_type='vgg'), metrics.py:83)."""
+    import jax.numpy as jnp
+
+    weights = weights or _default_weights()
+    if weights is None:
+        raise RuntimeError(
+            "no LPIPS weights: set LPIPS_WEIGHTS to the npz produced by "
+            "scripts/convert_lpips_weights.py")
+    return float(_jitted_dist()(jnp.asarray(img_a, jnp.float32),
+                                jnp.asarray(img_b, jnp.float32), weights))

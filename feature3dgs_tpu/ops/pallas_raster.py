@@ -331,6 +331,9 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
     p = grid.pixels_per_tile
     l_cap, c_pad = slab.shape
     assert l_cap % 8 == 0 and c_pad % LANE == 0 and k_chunk % 8 == 0
+    # binning guarantees >= 256 rows of filler slack past the last segment;
+    # a larger chunk would let _clamp_segments drop in-capacity splats
+    assert k_chunk <= 256, f"k_chunk {k_chunk} exceeds the binning slack"
     split = c_pad > LANE
     c_feat = c_pad - LANE
     starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)
@@ -749,6 +752,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
     t_tiles = starts.shape[0]
     p = grid.pixels_per_tile
     l_cap, c_pad = slab.shape
+    assert k_chunk <= 256, f"k_chunk {k_chunk} exceeds the binning slack"
     split = c_pad > LANE
     c_feat = c_pad - LANE
     starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)

@@ -180,7 +180,7 @@ def rasterize(
         out = pallas_raster.composite_pallas(
             bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
             xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
-            pre.depth, None, grid, max(config.chunk, 8),
+            pre.depth, None, grid, min(max(config.chunk, 8), 256),
             config.feature_alpha_grad, config.backend == "pallas_interpret",
             config.tiles_per_program)
     else:

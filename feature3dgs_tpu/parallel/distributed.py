@@ -55,11 +55,17 @@ def initialize(coordinator_address: str | None = None,
         # explicit multi-host configuration must fail loudly
         if addr or os.environ.get("JAX_NUM_PROCESSES"):
             raise
-        if "already" in str(e).lower():
-            return  # someone initialized it first — fine
-        # single-process runs (tests, one-host dev) land here: TPU-pod
-        # auto-detect has no metadata server to talk to
-        return
+        msg = str(e).lower()
+        if "already" in msg or "before any jax" in msg:
+            return  # someone (a library import) initialized things first
+        if isinstance(e, ValueError):
+            # single-process runs (tests, one-host dev): auto-detect has no
+            # coordinator/metadata to discover — benign
+            return
+        # a RuntimeError from pod auto-detect means this probably IS a
+        # multi-host environment whose init failed; proceeding would let
+        # every host train independently and clobber the model_path
+        raise
 
 
 def make_host_chip_mesh(axis_names=("data", "tile")) -> jax.sharding.Mesh:

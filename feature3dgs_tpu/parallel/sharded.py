@@ -122,7 +122,7 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
         out = pallas_raster.composite_pallas(
             starts_l, counts_l, bins.gid_sorted, bins.total,
             xy, pre.conic, pre.opacity, (pre.rgb, G.get_semantic(params)),
-            pre.depth, tile_base, grid, max(config.chunk, 8),
+            pre.depth, tile_base, grid, min(max(config.chunk, 8), 256),
             config.feature_alpha_grad, backend == "pallas_interpret",
             config.tiles_per_program)
     else:

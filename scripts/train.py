@@ -132,10 +132,12 @@ def main(argv=None):
     bsz = getattr(trainer, "batch", 1)
     log_path = os.path.join(mcfg.model_path, "train_log.jsonl")
     with mesh_ctx, open(log_path, "a") as logf:
+        prof_on = False
         while trainer.iteration < ocfg.iterations:
-            if args.profile and trainer.iteration == 20:
+            if args.profile and not prof_on and trainer.iteration >= 20:
                 import jax
                 jax.profiler.start_trace(args.profile)
+                prof_on = True
             span = range(trainer.iteration + 1, trainer.iteration + bsz + 1)
             it = span[-1]
             # Pipelined dispatch: steps are enqueued without host blocking
@@ -148,18 +150,22 @@ def main(argv=None):
                     or any(i in args.test_iterations
                            or i in args.save_iterations
                            or i in args.checkpoint_iterations for i in span)
-                    or (args.profile and it in (20, 30)))
+                    or bool(args.profile and it >= 20))
             metrics = trainer.step(sync=sync)
-            if args.profile and it == 30:
+            if args.profile and prof_on and it >= 30:
                 import jax
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-                print(f"profiler trace (iterations 20-30) -> {args.profile}")
+                args.profile = None
+                print(f"profiler trace (~iterations 20-30) -> saved")
             if not sync:
                 continue
             metrics = {k: float(v) for k, v in metrics.items()}
-            ema_loss = 0.4 * metrics["loss"] + 0.6 * ema_loss if it > 1 \
-                else metrics["loss"]
+            # a discarded non-finite step still reports loss=NaN — keep it
+            # out of the EMA/TensorBoard scalars or they stay NaN forever
+            if metrics.get("finite", 1.0):
+                ema_loss = 0.4 * metrics["loss"] + 0.6 * ema_loss if it > 1 \
+                    else metrics["loss"]
             ms_it = (time.time() - t_sync) * 1000 / max(it - last_sync_it, 1)
             t_sync, last_sync_it = time.time(), it
             if not args.quiet:
