@@ -104,6 +104,12 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
         tile_capacity=config.tile_capacity,
         build_tile_lists=not use_pallas)
 
+    # Row-aligned tile sharding: pad the grid to a whole number of tile
+    # ROWS per device, so each shard's flat slice is a rectangle
+    # [rows_loc, grid_x] of the tile lattice — the sharded feature-loss
+    # resize (losses.resize_bilinear_from_tile_rows) needs that to contract
+    # its interpolation operators locally.
+    row_mult = n_tile * grid.grid_x
     ti = jax.lax.axis_index("tile")
     if use_pallas:
         # The Pallas kernels themselves run tile-sharded: each device walks
@@ -112,8 +118,8 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
         # backward writes only its slice's slab segments (rest stays zero
         # via the aliased init) so the post-kernel segment-sum already
         # yields this shard's partial per-Gaussian grads.
-        ts_pad = _pad_tiles(bins.tile_starts, n_tile, 0)
-        tc_pad = _pad_tiles(bins.tile_counts, n_tile, 0)
+        ts_pad = _pad_tiles(bins.tile_starts, row_mult, 0)
+        tc_pad = _pad_tiles(bins.tile_counts, row_mult, 0)
         t_loc = ts_pad.shape[0] // n_tile
         tile_base = ti * t_loc
         starts_l = jax.lax.dynamic_slice_in_dim(ts_pad, tile_base, t_loc)
@@ -127,8 +133,8 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
             config.tiles_per_program)
     else:
         pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)
-        tl = _pad_tiles(bins.tile_lists, n_tile, -1)
-        px = _pad_tiles(pix_xy, n_tile, 0.0)
+        tl = _pad_tiles(bins.tile_lists, row_mult, -1)
+        px = _pad_tiles(pix_xy, row_mult, 0.0)
         t_loc = tl.shape[0] // n_tile
         tl_local = jax.lax.dynamic_slice_in_dim(tl, ti * t_loc, t_loc, axis=0)
         px_local = jax.lax.dynamic_slice_in_dim(px, ti * t_loc, t_loc, axis=0)
@@ -139,9 +145,11 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
             config.chunk, config.precision, config.feature_alpha_grad)
 
     color_l = out.color + out.final_T[..., None] * bg
-    # gather tiles across the tile axis -> full frame on every device
+    # gather the small channels across the tile axis -> full frame on every
+    # device; the (wide) feature tiles stay LOCAL — the train loss resizes
+    # them shard-locally and psums the resized map, and forward-render
+    # callers all_gather them explicitly.
     color = jax.lax.all_gather(color_l, "tile", tiled=True)[: grid.num_tiles]
-    feature = jax.lax.all_gather(out.feature, "tile", tiled=True)[: grid.num_tiles]
     depth = jax.lax.all_gather(out.depth, "tile", tiled=True)[: grid.num_tiles]
 
     aux = {
@@ -150,11 +158,11 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
         "total_instances": bins.total,
         "max_tile_count": jnp.max(bins.tile_counts),
     }
-    # feature stays in TILE layout: the train loss resizes straight from it
-    # (losses.resize_bilinear_from_tiles) without materializing the
-    # [H,W,F] image; forward-render callers assemble it themselves.
-    return (tiles_to_image(color, grid), feature,
-            tiles_to_image(depth, grid), aux)
+    rows_loc = t_loc // grid.grid_x
+    meta = {"row0": ti * rows_loc, "rows_loc": rows_loc,
+            "gy_pad": (n_tile * rows_loc)}
+    return (tiles_to_image(color, grid), out.feature,
+            tiles_to_image(depth, grid), aux, meta)
 
 
 def rasterize_tile_sharded(params, state, cam: CameraView, *, bg,
@@ -165,10 +173,12 @@ def rasterize_tile_sharded(params, state, cam: CameraView, *, bg,
 
     def shard_fn(params, state_alive, bg):
         st = _StateView(state, state_alive)
-        color, feature_tiles, depth, aux = _local_composite(
+        color, feature_local, depth, aux, meta = _local_composite(
             params, st, cam, bg, config, n_tile)
-        return color, tiles_to_image(feature_tiles, config.grid(
-            cam.width, cam.height)), depth
+        grid = config.grid(cam.width, cam.height)
+        feature = jax.lax.all_gather(
+            feature_local, "tile", tiled=True)[: grid.num_tiles]
+        return color, tiles_to_image(feature, grid), depth
 
     # alive passed explicitly so the pytree in_specs stay simple
     specs_in = (jax.tree.map(lambda _: P(), params), P(), P())
@@ -242,13 +252,21 @@ def sharded_train_step(
                 cam = CameraView(view=view[i], proj=proj[i], campos=campos[i],
                                  tan_fovx=tfx[i], tan_fovy=tfy[i],
                                  width=width, height=height)
-                color, feature_tiles, depth, aux = _local_composite(
+                color, feature_local, depth, aux, meta = _local_composite(
                     params, st, cam, bg, rcfg, n_tile,
                     ndc_offset=ndc_offset)
                 rgb_term, l1_i = L.rgb_loss(color, gt_img[i], ocfg.lambda_dssim)
-                fmap = L.resize_bilinear_from_tiles(
-                    feature_tiles, rcfg.grid(width, height),
-                    gt_feat.shape[1], gt_feat.shape[2])
+                # sharded feature resize: each device contracts its OWN
+                # tile rows and the psum of the small resized maps replaces
+                # an all_gather of the full feature tile array; the resize
+                # FLOPs shard with the tiles instead of running
+                # tile-redundantly
+                fmap = jax.lax.psum(
+                    L.resize_bilinear_from_tile_rows(
+                        feature_local, rcfg.grid(width, height),
+                        gt_feat.shape[1], gt_feat.shape[2],
+                        meta["row0"], meta["rows_loc"], meta["gy_pad"]),
+                    "tile")
                 if speedup:
                     fmap = apply_decoder(decoder, fmap)
                 lf_i = L.l1_loss(fmap, gt_feat[i])

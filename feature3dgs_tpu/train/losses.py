@@ -172,6 +172,40 @@ def resize_bilinear_from_tiles(tiles: jnp.ndarray, grid,
     return t2.transpose(1, 0, 2)
 
 
+def resize_bilinear_from_tile_rows(tiles_local: jnp.ndarray, grid,
+                                   out_h: int, out_w: int,
+                                   row0, rows_loc: int,
+                                   gy_pad: int) -> jnp.ndarray:
+    """PARTIAL align_corners resize from a contiguous block of TILE ROWS —
+    the tile-sharded form of resize_bilinear_from_tiles.
+
+    ``tiles_local`` [rows_loc*grid_x, P, C] holds tile rows
+    [row0, row0+rows_loc) of a tile grid padded to ``gy_pad`` rows (pad
+    rows carry zero weight). Returns this shard's additive contribution to
+    the [out_h, out_w, C] map — sum the results over shards (psum on the
+    tile axis) to get the full resize. Both interpolation contractions run
+    on the LOCAL slice only, so the resize FLOPs shard with the tiles and
+    the cross-device traffic is the small resized map instead of the full
+    feature tile array (~0.5 GB/camera at 1 Mpix x 128 ch).
+    """
+    gx, th, tw = grid.grid_x, grid.tile_h, grid.tile_w
+    c = tiles_local.shape[-1]
+    pr = SEPARABLE_PRECISION
+    ry = _interp_matrix(grid.height, out_h)       # [out_h, H]
+    rx = _interp_matrix(grid.width, out_w)        # [out_w, W]
+    ry = np.pad(ry, [(0, 0), (0, gy_pad * th - grid.height)])
+    rx = np.pad(rx, [(0, 0), (0, gx * tw - grid.width)])
+    ryt = jnp.asarray(ry.reshape(out_h, gy_pad, th))
+    rxt = jnp.asarray(rx.reshape(out_w, gx, tw))
+    ryt_loc = jax.lax.dynamic_slice_in_dim(ryt, row0, rows_loc, axis=1)
+    x = tiles_local.reshape(rows_loc, gx, th, tw, c)
+    t1 = jax.lax.dot_general(ryt_loc, x, (((1, 2), (0, 2)), ((), ())),
+                             precision=pr)        # [out_h, gx, tw, C]
+    t2 = jax.lax.dot_general(rxt, t1, (((1, 2), (1, 2)), ((), ())),
+                             precision=pr)        # [out_w, out_h, C]
+    return t2.transpose(1, 0, 2)
+
+
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2):
     """(1-λ)·L1 + λ·(1-SSIM) — train.py:105. Returns (loss, l1) pair."""
     ll1 = l1_loss(image, gt)
