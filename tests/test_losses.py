@@ -154,3 +154,28 @@ def test_resize_from_tiles_matches_image_path():
         L.resize_bilinear_align_corners(tiles_to_image(x, grid), 19, 23)
         - t)))(tiles)
     np.testing.assert_allclose(g1, g2, atol=1e-5)
+
+
+def test_resize_from_tile_rows_partials_sum_to_full():
+    """The tile-sharded resize: per-row-block partial contractions must sum
+    exactly to the full from-tiles resize (psum semantics on the mesh)."""
+    from feature3dgs_tpu.ops.binning import TileGrid
+    grid = TileGrid(width=50, height=35, tile_w=16, tile_h=16)  # 3x4 rows
+    rng = np.random.RandomState(1)
+    tiles = jnp.asarray(rng.randn(grid.num_tiles, grid.pixels_per_tile, 5)
+                        .astype(np.float32))
+    want = L.resize_bilinear_from_tiles(tiles, grid, 18, 25)
+    # shard into 4 row-blocks of 1 padded row each (gy=3 padded to 4)
+    n_shards, gy_pad = 4, 4
+    padded = jnp.concatenate(
+        [tiles, jnp.zeros(((gy_pad * grid.grid_x) - grid.num_tiles,)
+                          + tiles.shape[1:], tiles.dtype)])
+    rows_loc = gy_pad // n_shards
+    parts = []
+    for s in range(n_shards):
+        loc = padded[s * rows_loc * grid.grid_x:
+                     (s + 1) * rows_loc * grid.grid_x]
+        parts.append(L.resize_bilinear_from_tile_rows(
+            loc, grid, 18, 25, s * rows_loc, rows_loc, gy_pad))
+    got = sum(parts)
+    np.testing.assert_allclose(got, want, atol=1e-5)
