@@ -53,6 +53,13 @@ def main(argv=None):
                              "tile axis (SURVEY.md section 2.4; the "
                              "reference is single-GPU only). Requires "
                              "data*tile == len(jax.devices()).")
+    parser.add_argument("--cameras_per_step", type=int, default=None,
+                        help="batch B cameras per jitted step (each counts "
+                             "as one reference iteration; the loss is their "
+                             "mean). Amortizes per-step fixed costs even on "
+                             "one chip ('--mesh 1x1 --cameras_per_step 4'); "
+                             "must be a multiple of the mesh data axis. "
+                             "Implies --mesh 1x1 when no mesh is given.")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
 
@@ -90,15 +97,18 @@ def main(argv=None):
     tkw = dict(ocfg=ocfg, rcfg=rcfg, max_sh_degree=mcfg.sh_degree,
                speedup=mcfg.speedup, white_background=mcfg.white_background,
                seed=args.seed)
-    if args.mesh:
+    if args.mesh or args.cameras_per_step:
         from feature3dgs_tpu.parallel import make_mesh
         from feature3dgs_tpu.parallel.trainer import DistributedTrainer
-        n_data, n_tile = (int(x) for x in args.mesh.lower().split("x"))
+        n_data, n_tile = (int(x) for x in
+                          (args.mesh or "1x1").lower().split("x"))
         mesh = make_mesh((n_data, n_tile), ("data", "tile"))
-        trainer = DistributedTrainer(scene, mesh=mesh, **tkw)
+        trainer = DistributedTrainer(scene, mesh=mesh,
+                                     cameras_per_step=args.cameras_per_step,
+                                     **tkw)
         mesh_ctx = jax.set_mesh(mesh)
         print(f"Mesh training: data={n_data} x tile={n_tile} over "
-              f"{n_data * n_tile} devices")
+              f"{n_data * n_tile} devices, {trainer.batch} cameras/step")
     else:
         trainer = Trainer(scene, **tkw)
     if args.start_checkpoint:
