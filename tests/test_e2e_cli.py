@@ -159,3 +159,27 @@ def test_cli_segmentation_from_rendered_features(pipeline, tmp_path):
                   "--label_src", "a,b,c,d,e", "--text_features", text_path])
     outs = os.listdir(out_dir)
     assert any(o.endswith(".png") for o in outs), outs
+
+
+def test_cli_mesh_batched_training(tmp_path_factory):
+    """scripts/train.py --mesh DxT --cameras_per_step B end-to-end on the
+    virtual device mesh: trains, densifies, saves a loadable PLY."""
+    root = str(tmp_path_factory.mktemp("mesh_scene"))
+    model = str(tmp_path_factory.mktemp("mesh_model"))
+    _build_dataset(root)
+
+    import scripts.train as train_cli
+    train_cli.main([
+        "-s", root, "-m", model, "-f", "lseg", "--mesh", "2x4",
+        "--cameras_per_step", "4",
+        "--iterations", "48", "--save_iterations", "48",
+        "--test_iterations", "48", "--sync_every", "8",
+        "--instance_capacity", str(1 << 13), "--tile_capacity", str(1 << 9),
+        "--densify_from_iter", "8", "--densification_interval", "16",
+        "--opacity_reset_interval", "10000", "--disable_viewer", "--quiet"])
+
+    from feature3dgs_tpu.model.ply_io import load_gaussians_ply
+    params, state = load_gaussians_ply(
+        os.path.join(model, "point_cloud", "iteration_48", "point_cloud.ply"),
+        max_sh_degree=3)
+    assert int(state.num_active) > 150  # initial points + densification
