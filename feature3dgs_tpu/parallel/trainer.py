@@ -72,7 +72,11 @@ class DistributedTrainer(Trainer):
             speedup=self.speedup, max_sh_degree=self.max_sh_degree)
 
         if sync:
-            if not float(metrics["finite"]):
+            # one device_get for the whole dict (per-value float() costs a
+            # blocked RPC each on tunneled TPUs)
+            host_metrics = {k: float(v)
+                            for k, v in jax.device_get(metrics).items()}
+            if not host_metrics["finite"]:
                 self._nonfinite_streak += 1
                 print(f"[dist-trainer] non-finite loss at iteration "
                       f"{self.iteration} (streak {self._nonfinite_streak}); "
@@ -81,12 +85,12 @@ class DistributedTrainer(Trainer):
                     raise FloatingPointError(
                         f"loss non-finite at {self._nonfinite_streak} "
                         "consecutive sync points")
-                return {k: float(v) for k, v in metrics.items()}
+                return host_metrics
             self._nonfinite_streak = 0
+            self._pending_maintenance = (self.iteration, host_metrics)
+            return host_metrics
 
         self._pending_maintenance = (self.iteration, metrics)
-        if sync:
-            return {k: float(v) for k, v in metrics.items()}
         return metrics
 
     def flush_maintenance(self) -> None:

@@ -254,7 +254,12 @@ class Trainer:
         # non-finite observations mean training is stuck re-attempting from
         # the same state — abort.
         if sync:
-            if not float(metrics["finite"]):
+            # ONE device_get for the whole metrics dict: each individual
+            # float() is a separate blocked transfer (~100-200ms RPC on
+            # tunneled TPUs, docs/tpu_notes.md)
+            host_metrics = {k: float(v)
+                            for k, v in jax.device_get(metrics).items()}
+            if not host_metrics["finite"]:
                 self._nonfinite_streak += 1
                 print(f"[trainer] non-finite loss at iteration {it} "
                       f"(streak {self._nonfinite_streak}); step discarded "
@@ -263,12 +268,12 @@ class Trainer:
                     raise FloatingPointError(
                         f"loss non-finite at {self._nonfinite_streak} "
                         "consecutive sync points")
-                return {k: float(v) for k, v in metrics.items()}
+                return host_metrics
             self._nonfinite_streak = 0
+            self._pending_maintenance = (it, host_metrics)
+            return host_metrics
 
         self._pending_maintenance = (it, metrics)
-        if sync:
-            return {k: float(v) for k, v in metrics.items()}
         return metrics
 
     def flush_maintenance(self) -> None:
@@ -281,6 +286,7 @@ class Trainer:
             return
         it, metrics = self._pending_maintenance
         self._pending_maintenance = None
+        metrics = jax.device_get(metrics)  # one transfer (no-op if host)
         o = self.ocfg
         if it < o.densify_until_iter:
             if it > o.densify_from_iter and it % o.densification_interval == 0:
@@ -317,7 +323,15 @@ class Trainer:
             cfg = dataclasses.replace(
                 cfg, instance_capacity=_round_capacity(int(total * 1.5)))
             changed = True
-        if "max_tile_count" in metrics:
+        # tile_capacity only bounds the XLA compositor's padded per-tile
+        # lists; the Pallas kernels walk the flat sorted segments and ignore
+        # it — growing it there would force a pointless full re-jit
+        backend = cfg.backend
+        if backend == "auto":
+            backend = ("pallas" if jax.devices()[0].platform
+                       in ("tpu", "axon") else "xla")
+        if backend not in ("pallas", "pallas_interpret") \
+                and "max_tile_count" in metrics:
             mtc = int(metrics["max_tile_count"])
             if mtc > cfg.tile_capacity:
                 cfg = dataclasses.replace(
@@ -329,11 +343,12 @@ class Trainer:
             self.rcfg = cfg
 
     def _maybe_grow(self, report):
-        wanted = int(report.wanted_slots)
-        granted = int(report.granted_slots)
+        # single transfer instead of three blocked scalar reads
+        wanted, granted, num_active = (int(x) for x in jax.device_get(
+            (report.wanted_slots, report.granted_slots, report.num_active)))
         if wanted > granted:
             new_cap = _round_capacity(
-                int((int(report.num_active) + wanted - granted) * 1.5))
+                int((num_active + wanted - granted) * 1.5))
             ts = self.ts
             params, gstate, mu = G.grow_capacity(
                 ts.params, ts.gstate, new_cap, ts.adam.mu)
