@@ -104,9 +104,13 @@ def main(argv=None):
     jax.block_until_ready(metrics["loss"])
     compile_s = time.time() - t0
 
+    # shared so the scan fallback can pick up the LATEST live TrainState:
+    # every f() call below DONATES its input state (buffers deleted), so a
+    # failure inside profiled_step_ms after >=1 step leaves ts2 dead
+    state = {"ts": ts2, "i": 0}
+
     def profiled_step_ms(n=3):
         from feature3dgs_tpu.bench_utils import profiled_step_ms as _pms
-        state = {"ts": ts2, "i": 0}
 
         def step_and_block():
             state["i"] += 1
@@ -122,6 +126,7 @@ def main(argv=None):
         dt = dt_ms / 1000.0
     except Exception as e:  # trace format drift — fall back to scan timing
         method = f"scan-fallback ({type(e).__name__})"
+        ts2 = state["ts"]  # latest state that survived donation
 
         def scan_steps(ts0, n):
             def body(carry, it):
@@ -131,8 +136,6 @@ def main(argv=None):
             return jax.lax.scan(body, ts0,
                                 jnp.arange(1, n + 1, dtype=jnp.int32))
 
-        # use ts2 (the warmup result): the original ts was DONATED into the
-        # warmup call (train_step aliases its TrainState buffers in-place)
         run = jax.jit(functools.partial(scan_steps, n=ITERS))
         ts3, losses = run(ts2)
         jax.block_until_ready(losses)

@@ -83,9 +83,11 @@ def _modules():
     class Block(nn.Module):
         def __init__(self, dim, heads):
             super().__init__()
-            self.norm1 = nn.LayerNorm(dim)
+            # timm vit_large_patch16_384 builds LayerNorm(eps=1e-6); torch's
+            # default 1e-5 would drift from the official LSeg encoder
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
             self.attn = Attention(dim, heads)
-            self.norm2 = nn.LayerNorm(dim)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
             self.mlp = Mlp(dim, dim * 4)
 
         def forward(self, x):
@@ -114,7 +116,7 @@ def _modules():
                 torch.zeros(1, (384 // PATCH) ** 2 + 1, VIT_DIM))
             self.blocks = nn.ModuleList(
                 [Block(VIT_DIM, VIT_HEADS) for _ in range(VIT_DEPTH)])
-            self.norm = nn.LayerNorm(VIT_DIM)
+            self.norm = nn.LayerNorm(VIT_DIM, eps=1e-6)
 
         def _resize_pos_embed(self, posemb, gs_h, gs_w):
             # lseg_vit.py:217-233 (start_index=1, bilinear, no corners)

@@ -35,16 +35,16 @@ def mean_sq_dist_3nn(points: np.ndarray) -> np.ndarray:
     if n <= 4:
         return _brute(points)
     try:
+        from feature3dgs_tpu.native import loader as native
+        if native.available():
+            return native.knn_mean_sq_dist(points)
+    except Exception:
+        pass
+    try:
         from scipy.spatial import cKDTree
         tree = cKDTree(points)
         dists, _ = tree.query(points, k=4, workers=-1)  # self + 3 NN
         return (dists[:, 1:] ** 2).mean(axis=1).astype(np.float32)
     except ImportError:
-        pass
-    try:
-        from feature3dgs_tpu.native import loader as native
-        if native.available():
-            return native.knn_mean_sq_dist(points)
-    except Exception:
         pass
     return _brute(points)

@@ -38,9 +38,15 @@ def initialize(coordinator_address: str | None = None,
     # initialize() unconditionally raise 'must be called before any JAX
     # calls'. Idempotency is checked against the distributed client state
     # instead.
-    from jax._src import distributed as _dist  # internal, but the only
-    if _dist.global_state.client is not None:  # pre-backend probe available
-        return  # already initialized
+    try:
+        from jax._src import distributed as _dist  # internal, but the only
+        if _dist.global_state.client is not None:  # pre-backend probe
+            return  # already initialized
+    except (ImportError, AttributeError):
+        # private API moved across a JAX upgrade — fall through and let
+        # initialize() itself report "already initialized" (classified as
+        # benign below)
+        pass
     kwargs = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr:

@@ -102,6 +102,9 @@ class DistributedTrainer(Trainer):
             return
         it, metrics = self._pending_maintenance
         self._pending_maintenance = None
+        metrics = jax.device_get(metrics)  # one transfer (no-op if host) —
+        # _maybe_grow_raster's per-scalar int() casts would otherwise each
+        # pay a blocked RPC in the pipelined (sync=False) path
         o = self.ocfg
         b = self.batch
         span = range(it - b + 1, it + 1)

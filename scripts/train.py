@@ -156,7 +156,11 @@ def main(argv=None):
             # metrics — every sync_every iters and at report/save points.
             # Blocked dispatches pay ~100ms RPC on tunneled TPUs
             # (docs/tpu_notes.md), which otherwise doubles CLI step time.
-            sync = (it % args.sync_every < bsz or it >= ocfg.iterations
+            # the 50-boundary term keeps train_log.jsonl entries flowing even
+            # when --sync_every does not divide 50 (they are only written at
+            # sync points below)
+            sync = (it % args.sync_every < bsz or it % 50 < bsz
+                    or it >= ocfg.iterations
                     or any(i in args.test_iterations
                            or i in args.save_iterations
                            or i in args.checkpoint_iterations for i in span)

@@ -60,6 +60,25 @@ def test_colmap_native_matches_python(tmp_path):
     np.testing.assert_array_equal(nr, rgb)
 
 
+def test_native_knn_matches_scipy():
+    """The preferred native grid KNN (ops/knn.py order: native -> scipy ->
+    brute) must agree with an exact KD-tree on a nontrivial cloud."""
+    from feature3dgs_tpu.native import loader as native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    scipy_spatial = pytest.importorskip("scipy.spatial")
+    rng = np.random.RandomState(3)
+    # mix of dense cluster + sparse halo exercises the grid/ring sweep
+    pts = np.concatenate([
+        rng.randn(8000, 3).astype(np.float32) * 0.1,
+        rng.uniform(-5, 5, (2000, 3)).astype(np.float32)])
+    got = native.knn_mean_sq_dist(pts)
+    tree = scipy_spatial.cKDTree(pts)
+    d, _ = tree.query(pts, k=4, workers=-1)
+    want = (d[:, 1:] ** 2).mean(axis=1).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
 def test_load_colmap_scene(tmp_path):
     _write_scene(str(tmp_path))
     from feature3dgs_tpu.data.dataset import load_scene
