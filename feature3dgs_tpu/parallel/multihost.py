@@ -1,0 +1,329 @@
+"""Multi-host (multi-process) training: the ladder's ">= 2 hosts" rung.
+
+The reference is single-GPU (SURVEY.md section 2.4, hard-coded cuda:0 at
+/root/reference/utils/general_utils.py:133); this is the TPU-native
+scale-out design on top of ``DistributedTrainer``:
+
+  * ``distributed.initialize()`` wires the multi-process runtime;
+    ``distributed.make_host_chip_mesh()`` places the ``data`` axis across
+    HOSTS and the ``tile`` axis across each host's local chips, so the
+    per-step gradient psum crosses DCN once while tile-sharded render
+    traffic rides ICI.
+  * Every process holds a bitwise-identical REPLICATED TrainState (global
+    jax.Arrays over the whole mesh); the jitted steps are multi-controller
+    SPMD programs every process enters in lockstep.
+  * GT images / teacher feature maps are HOST-LOCAL: each process uploads
+    only the cameras of its own data rows (the multi-GB per-view LSeg maps
+    of /root/reference/README.md:152 never cross hosts), assembled into
+    global batch arrays with ``jax.make_array_from_process_local_data``.
+  * Host-side maintenance (densify/prune/reset, capacity growth) runs the
+    same jitted replicated programs; capacity growth round-trips through
+    host numpy (it reshapes buffers, which eager multi-process ops cannot).
+
+Camera schedule: each data row d of the mesh draws from its own contiguous
+camera stripe (``distributed.local_camera_indices``) with an independent
+seeded RNG, so processes never need each other's image files. All
+cross-host agreement is over jitted array programs, never filenames.
+"""
+from __future__ import annotations
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from feature3dgs_tpu.data.dataset import SceneData
+from feature3dgs_tpu.parallel import distributed
+from feature3dgs_tpu.parallel.trainer import DistributedTrainer
+from feature3dgs_tpu.train.trainer import _round_capacity
+
+
+class MultiHostTrainer(DistributedTrainer):
+    """DistributedTrainer whose process only materializes its own shard.
+
+    Works single-process too (degenerates to DistributedTrainer semantics
+    with stripe-partitioned camera sampling) — the 2-process CPU parity
+    test relies on that equivalence.
+    """
+
+    def __init__(self, scene: SceneData, *, mesh: jax.sharding.Mesh,
+                 cameras_per_step: int | None = None, **kwargs):
+        super().__init__(scene, mesh=mesh,
+                         cameras_per_step=cameras_per_step, **kwargs)
+        self._replicated = NamedSharding(mesh, P())
+        self._data_sharded = NamedSharding(mesh, P("data"))
+        # Re-materialize the TrainState as replicated GLOBAL arrays spanning
+        # the whole (possibly multi-process) mesh. device_get -> device_put
+        # is cheap at init time and works from every process because the
+        # state is constructed deterministically (same seed) everywhere.
+        self.ts = jax.device_put(jax.device_get(self.ts), self._replicated)
+        self.bg = jax.device_put(np.asarray(self.bg), self._replicated)
+
+        # Per-data-row camera stripes + per-row RNGs: row d samples
+        # random-without-replacement epochs from stripe d only (the
+        # multi-host analog of train.py:84-86). Seeds derive from the
+        # shared seed + row index so runs are reproducible and all
+        # processes could recompute any row's schedule.
+        n_cams = len(scene.train_cameras)
+        if n_cams < self.n_data:
+            raise ValueError(
+                f"{n_cams} cameras < data axis {self.n_data}; every data "
+                "row needs a non-empty camera stripe")
+        seed = kwargs.get("seed", 0)
+        self._stripes = []
+        self._row_rngs = []
+        self._row_stacks: list[list] = []
+        for d in range(self.n_data):
+            idx = _row_camera_indices(n_cams, d, self.n_data)
+            self._stripes.append(idx)
+            self._row_rngs.append(random.Random(seed * 7919 + d))
+            self._row_stacks.append([])
+        # rows this PROCESS owns (whose images/fmaps it must have on disk)
+        self._local_rows = sorted({
+            _row_of_device(mesh, dev) for dev in mesh.local_devices})
+        self._host_gt_cache: dict = {}
+        self._global_gt_cache: dict = {}
+
+    # -- camera schedule ---------------------------------------------------
+
+    def pick_row_camera(self, d: int) -> int:
+        """Epoch sampling without replacement within stripe d."""
+        if not self._row_stacks[d]:
+            self._row_stacks[d] = list(self._stripes[d])
+        stack = self._row_stacks[d]
+        return stack.pop(self._row_rngs[d].randint(0, len(stack) - 1))
+
+    def pick_batch(self) -> list[int]:
+        """Global camera-uid batch for one step, stripe-partitioned:
+        batch position k belongs to data row k % n_data."""
+        b_loc = self.batch // self.n_data
+        out = []
+        for i in range(b_loc):
+            for d in range(self.n_data):
+                out.append(self.pick_row_camera(d))
+        return out
+
+    # -- sharded GT assembly ----------------------------------------------
+
+    def _host_gt(self, uid: int):
+        """(image, feature) numpy pair for a LOCAL camera, cached on host."""
+        if uid not in self._host_gt_cache:
+            cam = self.scene.train_cameras[uid]
+            img = np.asarray(cam.image, np.float32)
+            if cam.semantic_feature is not None:
+                feat = np.asarray(cam.semantic_feature, np.float32)
+            else:
+                feat = np.zeros((*img.shape[:2], self.feature_out_dim),
+                                np.float32)
+            self._host_gt_cache[uid] = (img, feat)
+        return self._host_gt_cache[uid]
+
+    def _global_batch(self, uids: list[int]):
+        """Build the [B,...] global arrays for a batch, uploading only the
+        data rows this process owns. Cached per uid-tuple (cameras repeat
+        every epoch; steady-state steps re-use device buffers)."""
+        key = tuple(uids)
+        if key in self._global_gt_cache:
+            return self._global_gt_cache[key]
+        views = [self.scene.train_cameras[uid].to_view() for uid in uids]
+        # Batch position k belongs to data row k % n_data, but P('data')
+        # shards axis 0 in contiguous blocks — permute the batch to
+        # [row0 cams..., row1 cams...] so each row's cameras land on its
+        # devices; the local stack follows the same permutation restricted
+        # to this process's rows.
+        order = [k for d in range(self.n_data)
+                 for k in range(d, self.batch, self.n_data)]
+        views = [views[k] for k in order]
+        local_imgs, local_feats = [], []
+        for k in order:
+            if k % self.n_data in self._local_rows:
+                img, feat = self._host_gt(uids[k])
+                local_imgs.append(img)
+                local_feats.append(feat)
+        gt_images = jax.make_array_from_process_local_data(
+            self._data_sharded, np.stack(local_imgs))
+        gt_features = jax.make_array_from_process_local_data(
+            self._data_sharded, np.stack(local_feats))
+        # camera arrays are tiny — replicate them (every process knows every
+        # camera's geometry; only bulky pixel/feature data stays host-local)
+        cam_arrays = {
+            k: jax.device_put(np.stack([np.asarray(getattr(v, f))
+                                        for v in views]), self._replicated)
+            for k, f in (("view", "view"), ("proj", "proj"),
+                         ("campos", "campos"), ("tan_fovx", "tan_fovx"),
+                         ("tan_fovy", "tan_fovy"))}
+        out = (cam_arrays, gt_images, gt_features)
+        self._global_gt_cache[key] = out
+        return out
+
+    # -- step --------------------------------------------------------------
+
+    def step(self, cameras=None, sync: bool = True) -> dict:
+        from feature3dgs_tpu.parallel.sharded import sharded_train_step
+        from feature3dgs_tpu.model import gaussians as G
+        self.flush_maintenance()
+        it0 = self.iteration + 1
+        self.iteration += self.batch
+        for it in range(it0, self.iteration + 1):
+            if it % 1000 == 0:
+                self.ts = self.ts.replace(gstate=G.one_up_sh_degree(
+                    self.ts.gstate, self.max_sh_degree))
+        uids = list(cameras) if cameras is not None else self.pick_batch()
+        cam_arrays, gt_images, gt_features = self._global_batch(uids)
+
+        self.ts, metrics = sharded_train_step(
+            self.ts, cam_arrays, gt_images, gt_features, self.bg,
+            np.int32(it0), mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
+            speedup=self.speedup, max_sh_degree=self.max_sh_degree)
+
+        if sync:
+            host_metrics = {k: float(v)
+                            for k, v in jax.device_get(metrics).items()}
+            if not host_metrics["finite"]:
+                self._nonfinite_streak += 1
+                if self._nonfinite_streak >= 5:
+                    raise FloatingPointError(
+                        f"loss non-finite at {self._nonfinite_streak} "
+                        "consecutive sync points")
+                return host_metrics
+            self._nonfinite_streak = 0
+            self._pending_maintenance = (self.iteration, host_metrics)
+            return host_metrics
+        self._pending_maintenance = (self.iteration, metrics)
+        return metrics
+
+    # -- maintenance overrides for multi-process safety --------------------
+
+    def flush_maintenance(self) -> None:
+        """Same schedule as DistributedTrainer, but densify keys/extent are
+        passed as host values (a committed single-device array fed to a
+        multi-process jit raises a device-assignment error)."""
+        if self._pending_maintenance is None:
+            return
+        it, metrics = self._pending_maintenance
+        self._pending_maintenance = None
+        metrics = jax.device_get(metrics)
+        o = self.ocfg
+        b = self.batch
+        span = range(it - b + 1, it + 1)
+
+        def hits(interval):
+            return any(i % interval == 0 for i in span)
+
+        if it - b + 1 < o.densify_until_iter:
+            if it > o.densify_from_iter and hits(o.densification_interval):
+                from feature3dgs_tpu.train.trainer import densify_step
+                self.key, sub = jax.random.split(self.key)
+                self.ts, report = densify_step(
+                    self.ts, np.asarray(sub), np.float32(self.extent),
+                    ocfg=o,
+                    use_screen_size_prune=it > o.opacity_reset_interval)
+                self._maybe_grow(report)
+                self._maybe_grow_raster(metrics)
+            if hits(o.opacity_reset_interval) or (
+                    self.white_background
+                    and it - b + 1 <= o.densify_from_iter <= it):
+                from feature3dgs_tpu.train.trainer import reset_opacity_step
+                self.ts = reset_opacity_step(self.ts)
+
+    def _maybe_grow(self, report):
+        """Capacity growth via a host round-trip: eager jnp.concatenate on
+        cross-process global arrays is not executable, so pad in numpy and
+        re-shard. Rare (capacities are 2^k-bucketed)."""
+        wanted, granted, num_active = (int(x) for x in jax.device_get(
+            (report.wanted_slots, report.granted_slots, report.num_active)))
+        if wanted <= granted:
+            return
+        new_cap = _round_capacity(int((num_active + wanted - granted) * 1.5))
+        host_ts = jax.device_get(self.ts)
+        old = host_ts.params.capacity
+
+        def pad(x):
+            if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] != old:
+                return x
+            padded = np.zeros((new_cap,) + x.shape[1:], x.dtype)
+            padded[:old] = x
+            return padded
+
+        host_ts = jax.tree.map(pad, host_ts)
+        self.ts = jax.device_put(host_ts, self._replicated)
+
+
+def worker_main(argv=None):
+    """Standalone multi-host training worker (tests + dryrun 2-process
+    phase): initialize the distributed runtime from env, train a
+    deterministic synthetic scene on an explicit (data x tile) mesh, and
+    have process 0 dump the final replicated parameters.
+
+    Run as: python -m feature3dgs_tpu.parallel.multihost --data 2 --tile 4 \
+        --iters 60 --out /tmp/out.npz
+    (with JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID set
+    for multi-process; unset = single-process.)
+    """
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", type=int, required=True)
+    p.add_argument("--tile", type=int, required=True)
+    p.add_argument("--iters", type=int, default=60)
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    distributed.initialize()  # must precede any backend-touching jax call
+    from feature3dgs_tpu.data.synthetic import synthetic_scene
+    from feature3dgs_tpu.ops import RasterConfig
+    from feature3dgs_tpu.parallel.sharded import make_mesh
+    from feature3dgs_tpu.train.trainer import OptimizationConfig
+
+    mesh = make_mesh((args.data, args.tile), ("data", "tile"))
+    scene = synthetic_scene(n_cams=4, w=64, h=48, n_pts=256, f_dim=8, seed=1)
+    ocfg = OptimizationConfig(
+        iterations=args.iters, densify_from_iter=6,
+        densification_interval=20, densify_until_iter=10_000,
+        opacity_reset_interval=40, densify_grad_threshold=1e-8)
+    rcfg = RasterConfig(instance_capacity=1 << 12, tile_capacity=1 << 8,
+                        chunk=16, backend="xla")
+    trainer = MultiHostTrainer(scene, mesh=mesh, ocfg=ocfg, rcfg=rcfg,
+                               max_sh_degree=2, capacity_headroom=1.2,
+                               seed=args.seed)
+    cap0 = trainer.ts.params.capacity
+    with jax.set_mesh(mesh):
+        history = trainer.train(iterations=args.iters, log_every=20)
+    final = history[-1]
+    host_ts = jax.device_get(trainer.ts)
+    n_active = int(host_ts.gstate.alive.sum())
+    assert np.isfinite(final["loss"]), final
+    assert n_active > 256, f"densification never grew the model ({n_active})"
+    assert trainer.ts.params.capacity > cap0, "capacity growth never fired"
+    if jax.process_index() == 0 and args.out:
+        np.savez(args.out,
+                 xyz=host_ts.params.xyz, opacity=host_ts.params.opacity,
+                 scaling=host_ts.params.scaling,
+                 semantic_feature=host_ts.params.semantic_feature,
+                 alive=host_ts.gstate.alive,
+                 loss=np.float32(final["loss"]),
+                 capacity=np.int32(host_ts.params.capacity))
+    print(f"MULTIHOST WORKER OK: process {jax.process_index()}/"
+          f"{jax.process_count()} mesh=({args.data}x{args.tile}) "
+          f"iters={trainer.iteration} active={n_active} "
+          f"loss={final['loss']:.5f}")
+
+
+def _row_camera_indices(num_cameras: int, row: int, n_rows: int) -> list[int]:
+    """Contiguous camera stripe for data row `row` (ceil division, same
+    convention as distributed.local_camera_indices)."""
+    per = -(-num_cameras // n_rows)
+    return list(range(row * per, min((row + 1) * per, num_cameras)))
+
+
+def _row_of_device(mesh: jax.sharding.Mesh, dev) -> int:
+    """Index of `dev` along the mesh's first ('data') axis."""
+    arr = np.asarray(mesh.devices)
+    pos = np.argwhere(arr == dev)
+    return int(pos[0][0])
+
+
+if __name__ == "__main__":
+    worker_main()
