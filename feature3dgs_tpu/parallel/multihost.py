@@ -37,7 +37,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from feature3dgs_tpu.data.dataset import SceneData
 from feature3dgs_tpu.parallel import distributed
 from feature3dgs_tpu.parallel.trainer import DistributedTrainer
-from feature3dgs_tpu.train.trainer import _round_capacity
 
 
 class MultiHostTrainer(DistributedTrainer):
@@ -85,6 +84,11 @@ class MultiHostTrainer(DistributedTrainer):
             _row_of_device(mesh, dev) for dev in mesh.local_devices})
         self._host_gt_cache: dict = {}
         self._global_gt_cache: dict = {}
+
+    def replicate_state(self, ts):
+        """Re-materialize a (restored) TrainState as replicated global
+        arrays over this trainer's mesh."""
+        return jax.device_put(jax.device_get(ts), self._replicated)
 
     # -- camera schedule ---------------------------------------------------
 
@@ -173,72 +177,41 @@ class MultiHostTrainer(DistributedTrainer):
         uids = list(cameras) if cameras is not None else self.pick_batch()
         cam_arrays, gt_images, gt_features = self._global_batch(uids)
 
+        its = np.arange(it0, it0 + self.batch, dtype=np.int32)
         self.ts, metrics = sharded_train_step(
             self.ts, cam_arrays, gt_images, gt_features, self.bg,
-            np.int32(it0), mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
+            its, mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
             speedup=self.speedup, max_sh_degree=self.max_sh_degree)
 
         if sync:
-            host_metrics = {k: float(v)
-                            for k, v in jax.device_get(metrics).items()}
-            if not host_metrics["finite"]:
-                self._nonfinite_streak += 1
-                if self._nonfinite_streak >= 5:
-                    raise FloatingPointError(
-                        f"loss non-finite at {self._nonfinite_streak} "
-                        "consecutive sync points")
-                return host_metrics
-            self._nonfinite_streak = 0
-            self._pending_maintenance = (self.iteration, host_metrics)
+            host_metrics, ok = self._sync_metrics(metrics, self.iteration,
+                                                  "multihost-trainer")
+            if ok:
+                self._pending_maintenance = (self.iteration, host_metrics)
             return host_metrics
         self._pending_maintenance = (self.iteration, metrics)
         return metrics
 
     # -- maintenance overrides for multi-process safety --------------------
+    # The schedule itself is DistributedTrainer._dispatch_maintenance;
+    # only the densify inputs and capacity growth need multi-process forms.
 
-    def flush_maintenance(self) -> None:
-        """Same schedule as DistributedTrainer, but densify keys/extent are
-        passed as host values (a committed single-device array fed to a
-        multi-process jit raises a device-assignment error)."""
-        if self._pending_maintenance is None:
-            return
-        it, metrics = self._pending_maintenance
-        self._pending_maintenance = None
-        metrics = jax.device_get(metrics)
-        o = self.ocfg
-        b = self.batch
-        span = range(it - b + 1, it + 1)
+    def _densify_inputs(self):
+        """Densify key/extent as HOST values: a committed single-device
+        array fed to a multi-process jit raises a device-assignment
+        error."""
+        self.key, sub = jax.random.split(self.key)
+        return np.asarray(sub), np.float32(self.extent)
 
-        def hits(interval):
-            return any(i % interval == 0 for i in span)
-
-        if it - b + 1 < o.densify_until_iter:
-            if it > o.densify_from_iter and hits(o.densification_interval):
-                from feature3dgs_tpu.train.trainer import densify_step
-                self.key, sub = jax.random.split(self.key)
-                self.ts, report = densify_step(
-                    self.ts, np.asarray(sub), np.float32(self.extent),
-                    ocfg=o,
-                    use_screen_size_prune=it > o.opacity_reset_interval)
-                self._maybe_grow(report)
-                self._maybe_grow_raster(metrics)
-            if hits(o.opacity_reset_interval) or (
-                    self.white_background
-                    and it - b + 1 <= o.densify_from_iter <= it):
-                from feature3dgs_tpu.train.trainer import reset_opacity_step
-                self.ts = reset_opacity_step(self.ts)
-
-    def _maybe_grow(self, report):
+    def _grow_params(self, new_cap: int) -> None:
         """Capacity growth via a host round-trip: eager jnp.concatenate on
         cross-process global arrays is not executable, so pad in numpy and
-        re-shard. Rare (capacities are 2^k-bucketed)."""
-        wanted, granted, num_active = (int(x) for x in jax.device_get(
-            (report.wanted_slots, report.granted_slots, report.num_active)))
-        if wanted <= granted:
-            return
-        new_cap = _round_capacity(int((num_active + wanted - granted) * 1.5))
+        re-shard. Rare (capacities are 2^k-bucketed). Every process reaches
+        the same decision from the same replicated report scalars."""
         host_ts = jax.device_get(self.ts)
         old = host_ts.params.capacity
+        if new_cap <= old:
+            return
 
         def pad(x):
             if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] != old:

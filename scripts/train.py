@@ -60,19 +60,52 @@ def main(argv=None):
                              "one chip ('--mesh 1x1 --cameras_per_step 4'); "
                              "must be a multiple of the mesh data axis. "
                              "Implies --mesh 1x1 when no mesh is given.")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host training: jax.distributed.initialize"
+                             " (auto-detected on TPU pods; elsewhere set "
+                             "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                             "JAX_PROCESS_ID). Cameras stripe across hosts "
+                             "('data' axis), tiles shard across each host's "
+                             "chips. Implied when those env vars are set.")
+    parser.add_argument("--gt_cache_mb", type=int, default=0,
+                        help="device-memory budget (MB) for cached GT "
+                             "images + teacher feature maps; 0 pins "
+                             "everything (fine for small scenes, OOMs a "
+                             "16GB chip near ~100 LSeg views). Evicted "
+                             "views re-upload asynchronously next epoch.")
+    parser.add_argument("--allow_missing_features", action="store_true",
+                        help="train cameras without a teacher feature map "
+                             "get zeros instead of an error (the reference "
+                             "errors; zeros silently pull those views' "
+                             "semantic field toward zero)")
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
+
+    # Multi-host runtime wiring MUST precede any backend-touching jax call
+    # (parallel/distributed.py docstring; the reference is hard-coded
+    # single-GPU, utils/general_utils.py:133).
+    if (args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("JAX_NUM_PROCESSES")):
+        from feature3dgs_tpu.parallel import distributed as dist_lib
+        dist_lib.initialize()
 
     mcfg = C.extract_model(args)
     ocfg = C.extract_optimization(args)
     rcfg = C.extract_raster(args)
 
+    import jax
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     if not mcfg.model_path:
+        if n_proc > 1:
+            raise ValueError("multi-host training needs an explicit -m/"
+                             "--model_path (a per-process random one would "
+                             "scatter artifacts across hosts)")
         mcfg.model_path = os.path.join("./output", str(uuid.uuid4())[:10])
     os.makedirs(mcfg.model_path, exist_ok=True)
-    print(f"Output folder: {mcfg.model_path}")
-
-    import jax
+    if is_main:
+        print(f"Output folder: {mcfg.model_path}")
     from feature3dgs_tpu.data.dataset import load_scene
     from feature3dgs_tpu.train.trainer import Trainer
     from feature3dgs_tpu.train import checkpoints as ckpt
@@ -82,22 +115,41 @@ def main(argv=None):
         mcfg.source_path,
         foundation_model=mcfg.foundation_model or None,
         images_dir=mcfg.images, resolution=mcfg.resolution,
-        eval_split=mcfg.eval, white_background=mcfg.white_background)
-    print(f"Loaded scene: {len(scene.train_cameras)} train / "
-          f"{len(scene.test_cameras)} test cameras, "
-          f"{scene.points.shape[0]} points, feature dim {scene.feature_dim}")
+        eval_split=mcfg.eval, white_background=mcfg.white_background,
+        allow_missing_features=args.allow_missing_features)
+    if is_main:
+        print(f"Loaded scene: {len(scene.train_cameras)} train / "
+              f"{len(scene.test_cameras)} test cameras, "
+              f"{scene.points.shape[0]} points, "
+              f"feature dim {scene.feature_dim}")
 
-    ckpt.save_cfg_args(mcfg.model_path, {
-        **vars(args), "source_path": mcfg.source_path,
-        "model_path": mcfg.model_path})
-    ckpt.save_cameras_json(mcfg.model_path, scene.train_cameras)
+        ckpt.save_cfg_args(mcfg.model_path, {
+            **vars(args), "source_path": mcfg.source_path,
+            "model_path": mcfg.model_path})
+        ckpt.save_cameras_json(mcfg.model_path, scene.train_cameras)
 
     import contextlib
     mesh_ctx = contextlib.nullcontext()
     tkw = dict(ocfg=ocfg, rcfg=rcfg, max_sh_degree=mcfg.sh_degree,
                speedup=mcfg.speedup, white_background=mcfg.white_background,
-               seed=args.seed)
-    if args.mesh or args.cameras_per_step:
+               seed=args.seed,
+               gt_cache_bytes=args.gt_cache_mb * (1 << 20) or None)
+    if n_proc > 1:
+        # hosts on 'data' (camera stripes, grads cross DCN once per step),
+        # each host's chips on 'tile' (render traffic rides ICI)
+        from feature3dgs_tpu.parallel.distributed import make_host_chip_mesh
+        from feature3dgs_tpu.parallel.multihost import MultiHostTrainer
+        mesh = make_host_chip_mesh(("data", "tile"))
+        trainer = MultiHostTrainer(scene, mesh=mesh,
+                                   cameras_per_step=args.cameras_per_step,
+                                   **tkw)
+        mesh_ctx = jax.set_mesh(mesh)
+        args.disable_viewer = True  # the GUI loop is single-controller
+        if is_main:
+            print(f"Multi-host training: {n_proc} hosts x "
+                  f"{mesh.shape['tile']} chips, {trainer.batch} cameras/"
+                  "step (host-striped)")
+    elif args.mesh or args.cameras_per_step:
         from feature3dgs_tpu.parallel import make_mesh
         from feature3dgs_tpu.parallel.trainer import DistributedTrainer
         n_data, n_tile = (int(x) for x in
@@ -113,9 +165,12 @@ def main(argv=None):
         trainer = Trainer(scene, **tkw)
     if args.start_checkpoint:
         ts, it = ckpt.load_checkpoint(args.start_checkpoint)
+        if n_proc > 1:
+            ts = trainer.replicate_state(ts)
         trainer.ts = ts
         trainer.iteration = it
-        print(f"Restored checkpoint at iteration {it}")
+        if is_main:
+            print(f"Restored checkpoint at iteration {it}")
 
     gui = None
     if not args.disable_viewer:
@@ -129,18 +184,20 @@ def main(argv=None):
     # scalars/histograms (train.py:203-239): losses, iter time, test PSNR,
     # opacity histogram, total points. jsonl + stdout remain the fallback.
     tb = None
-    try:
-        from torch.utils.tensorboard import SummaryWriter
-        tb = SummaryWriter(mcfg.model_path)
-    except Exception as e:
-        print(f"tensorboard logging disabled ({e})")
+    if is_main:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            tb = SummaryWriter(mcfg.model_path)
+        except Exception as e:
+            print(f"tensorboard logging disabled ({e})")
 
     ema_loss = 0.0
     t_start = time.time()
     t_sync = time.time()
     last_sync_it = 0
     bsz = getattr(trainer, "batch", 1)
-    log_path = os.path.join(mcfg.model_path, "train_log.jsonl")
+    log_path = (os.path.join(mcfg.model_path, "train_log.jsonl")
+                if is_main else os.devnull)
     with mesh_ctx, open(log_path, "a") as logf:
         prof_on = False
         while trainer.iteration < ocfg.iterations:
@@ -182,7 +239,7 @@ def main(argv=None):
                     else metrics["loss"]
             ms_it = (time.time() - t_sync) * 1000 / max(it - last_sync_it, 1)
             t_sync, last_sync_it = time.time(), it
-            if not args.quiet:
+            if is_main and not args.quiet:
                 print(f"[{it}/{ocfg.iterations}] loss={ema_loss:.5f} "
                       f"psnr={metrics['psnr']:.2f} "
                       f"pts={int(metrics['num_active'])} "
@@ -201,9 +258,9 @@ def main(argv=None):
                                        "elapsed_s": time.time() - t_start}) + "\n")
                 logf.flush()
 
-            if any(i in args.test_iterations for i in span):
+            if is_main and any(i in args.test_iterations for i in span):
                 _report(trainer, scene, it, tb)
-            if any(i in args.save_iterations for i in span):
+            if is_main and any(i in args.save_iterations for i in span):
                 print(f"\n[ITER {it}] Saving Gaussians")
                 ckpt.save_scene_ply(mcfg.model_path, it, trainer.ts.params,
                                     trainer.ts.gstate)
@@ -213,12 +270,14 @@ def main(argv=None):
                     ckpt.save_decoder_checkpoint(mcfg.model_path, it,
                                                  trainer.ts.decoder)
             if any(i in args.checkpoint_iterations for i in span):
-                print(f"\n[ITER {it}] Saving Checkpoint")
                 # full checkpoints are post-densification in the reference
                 # (train.py:151-153 follow :129-140); PLY saves above are
-                # pre-densification (:121-126)
+                # pre-densification (:121-126). flush runs on EVERY process
+                # (it enters jitted SPMD programs); only main writes.
                 trainer.flush_maintenance()
-                ckpt.save_checkpoint(mcfg.model_path, it, trainer.ts)
+                if is_main:
+                    print(f"\n[ITER {it}] Saving Checkpoint")
+                    ckpt.save_checkpoint(mcfg.model_path, it, trainer.ts)
 
             if gui is not None:
                 _serve_gui(gui, trainer, scene, ema_loss)
@@ -235,6 +294,12 @@ def _report(trainer, scene, iteration, tb=None):
     import numpy as np
     from feature3dgs_tpu.render import renderer
     from feature3dgs_tpu.train import losses as L
+    params, gstate, bg = trainer.ts.params, trainer.ts.gstate, trainer.bg
+    if jax.process_count() > 1:
+        # cross-process replicated arrays can't enter a local eager render;
+        # evaluate on host-local device copies (report points are rare)
+        params, gstate, bg = jax.tree.map(
+            jnp.asarray, jax.device_get((params, gstate, bg)))
     configs = [("test", scene.test_cameras),
                ("train", [scene.train_cameras[i % len(scene.train_cameras)]
                           for i in range(5, 30, 5)])]
@@ -243,8 +308,8 @@ def _report(trainer, scene, iteration, tb=None):
             continue
         l1t, psnrt = 0.0, 0.0
         for cam in cams:
-            out = renderer.render(trainer.ts.params, trainer.ts.gstate,
-                                  cam.to_view(), bg=trainer.bg,
+            out = renderer.render(params, gstate,
+                                  cam.to_view(), bg=bg,
                                   config=trainer.rcfg)
             img = jnp.clip(out.color, 0, 1)
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
@@ -259,8 +324,8 @@ def _report(trainer, scene, iteration, tb=None):
             tb.add_scalar(f"{name}/loss_viewpoint - psnr", psnrt / n,
                           iteration)
     if tb is not None:
-        alive = np.asarray(trainer.ts.gstate.alive)
-        op = np.asarray(jax.nn.sigmoid(trainer.ts.params.opacity[:, 0]))
+        alive = np.asarray(gstate.alive)
+        op = 1.0 / (1.0 + np.exp(-np.asarray(params.opacity)[:, 0]))
         tb.add_histogram("scene/opacity_histogram", op[alive], iteration)
         tb.add_scalar("total_points", int(alive.sum()), iteration)
 

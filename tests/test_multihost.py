@@ -71,6 +71,52 @@ def _run_workers(n_proc: int, devices_per_proc: int, tile: int, out: str,
                 f"worker {pid}/{n_proc} exited rc={rc}:\n{tail}")
 
 
+def test_cli_two_process_training(tmp_path_factory):
+    """scripts/train.py end-to-end across TWO processes (env-driven
+    jax.distributed wiring): both ranks train in lockstep, rank 0 alone
+    writes cfg_args/train_log/PLY artifacts."""
+    from tests.test_e2e_cli import _build_dataset
+    root = str(tmp_path_factory.mktemp("mh_scene"))
+    model = str(tmp_path_factory.mktemp("mh_model"))
+    _build_dataset(root)
+
+    port = _free_port()
+    procs, logs = [], []
+    for pid in range(2):
+        env = _worker_env(4)
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        cmd = [sys.executable, "scripts/train.py", "-s", root, "-m", model,
+               "-f", "lseg", "--iterations", "24", "--save_iterations", "24",
+               "--test_iterations", "24", "--sync_every", "8",
+               "--instance_capacity", str(1 << 13),
+               "--tile_capacity", str(1 << 9),
+               "--densify_from_iter", "8", "--densification_interval", "16",
+               "--opacity_reset_interval", "10000",
+               "--disable_viewer", "--quiet"]
+        log = open(os.path.join(model, f"rank{pid}.log"), "w")
+        logs.append(log)
+        procs.append(subprocess.Popen(cmd, env=env, cwd=REPO, stdout=log,
+                                      stderr=subprocess.STDOUT))
+    rcs = [p.wait(timeout=900) for p in procs]
+    for log in logs:
+        log.close()
+    for pid, rc in enumerate(rcs):
+        if rc != 0:
+            with open(os.path.join(model, f"rank{pid}.log")) as f:
+                raise AssertionError(
+                    f"rank {pid} exited rc={rc}:\n{f.read()[-3000:]}")
+
+    from feature3dgs_tpu.model.ply_io import load_gaussians_ply
+    params, state = load_gaussians_ply(
+        os.path.join(model, "point_cloud", "iteration_24", "point_cloud.ply"),
+        max_sh_degree=3)
+    assert int(state.num_active) >= 150
+    assert os.path.exists(os.path.join(model, "cfg_args"))
+    assert os.path.exists(os.path.join(model, "train_log.jsonl"))
+
+
 def test_two_process_training_matches_single_process(tmp_path):
     """Full training (60 iters, densify + opacity reset + capacity growth)
     on a 2-process x 4-device mesh must match the SAME logical (2x4) mesh
