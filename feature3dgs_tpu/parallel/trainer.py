@@ -66,45 +66,31 @@ class DistributedTrainer(Trainer):
             [self._device_cache(c, "feature") for c in cams])
         cam_arrays = stack_cameras([c.to_view() for c in cams])
 
+        # per-camera iteration span: the xyz LR decay and every constant
+        # group fold the reference's per-iteration schedule over the whole
+        # batch (group_lrs docstring; train.py:77-81)
+        its = jnp.arange(it0, it0 + self.batch, dtype=jnp.int32)
         self.ts, metrics = sharded_train_step(
             self.ts, cam_arrays, gt_images, gt_features, self.bg,
-            jnp.int32(it0), mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
+            its, mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
             speedup=self.speedup, max_sh_degree=self.max_sh_degree)
 
         if sync:
-            # one device_get for the whole dict (per-value float() costs a
-            # blocked RPC each on tunneled TPUs)
-            host_metrics = {k: float(v)
-                            for k, v in jax.device_get(metrics).items()}
-            if not host_metrics["finite"]:
-                self._nonfinite_streak += 1
-                print(f"[dist-trainer] non-finite loss at iteration "
-                      f"{self.iteration} (streak {self._nonfinite_streak}); "
-                      "step discarded on device")
-                if self._nonfinite_streak >= 5:
-                    raise FloatingPointError(
-                        f"loss non-finite at {self._nonfinite_streak} "
-                        "consecutive sync points")
-                return host_metrics
-            self._nonfinite_streak = 0
-            self._pending_maintenance = (self.iteration, host_metrics)
+            host_metrics, ok = self._sync_metrics(metrics, self.iteration,
+                                                  "dist-trainer")
+            if ok:
+                self._pending_maintenance = (self.iteration, host_metrics)
             return host_metrics
 
         self._pending_maintenance = (self.iteration, metrics)
         return metrics
 
-    def flush_maintenance(self) -> None:
-        """Densify/prune/opacity-reset for the completed batch. With batch
-        size B the schedule triggers when the interval boundary falls
-        inside the batch's iteration span (the reference checks
+    def _dispatch_maintenance(self, it: int, metrics) -> None:
+        """Densify/prune/opacity-reset for the completed batch, dispatch-
+        only (reports fold at sync points, see Trainer.flush_maintenance).
+        With batch size B the schedule triggers when the interval boundary
+        falls inside the batch's iteration span (the reference checks
         ``it % interval == 0`` per camera-iteration)."""
-        if self._pending_maintenance is None:
-            return
-        it, metrics = self._pending_maintenance
-        self._pending_maintenance = None
-        metrics = jax.device_get(metrics)  # one transfer (no-op if host) —
-        # _maybe_grow_raster's per-scalar int() casts would otherwise each
-        # pay a blocked RPC in the pipelined (sync=False) path
         o = self.ocfg
         b = self.batch
         span = range(it - b + 1, it + 1)
@@ -115,12 +101,11 @@ class DistributedTrainer(Trainer):
         if it - b + 1 < o.densify_until_iter:
             if it > o.densify_from_iter and hits(o.densification_interval):
                 from feature3dgs_tpu.train.trainer import densify_step
-                self.key, sub = jax.random.split(self.key)
+                sub, extent = self._densify_inputs()
                 self.ts, report = densify_step(
-                    self.ts, sub, jnp.float32(self.extent), ocfg=o,
+                    self.ts, sub, extent, ocfg=o,
                     use_screen_size_prune=it > o.opacity_reset_interval)
-                self._maybe_grow(report)
-                self._maybe_grow_raster(metrics)
+                self._pending_reports.append((report, metrics))
             if hits(o.opacity_reset_interval) or (
                     self.white_background
                     and it - b + 1 <= o.densify_from_iter <= it):

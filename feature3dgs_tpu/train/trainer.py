@@ -169,7 +169,8 @@ class Trainer:
                  rcfg: RasterConfig = None, max_sh_degree: int = 3,
                  feature_dim: int | None = None, speedup: bool = False,
                  white_background: bool = False, seed: int = 0,
-                 capacity_headroom: float = 4.0):
+                 capacity_headroom: float = 4.0,
+                 gt_cache_bytes: int | None = None):
         self.scene = scene
         self.ocfg = ocfg or OptimizationConfig()
         self.rcfg = rcfg or RasterConfig()
@@ -214,7 +215,20 @@ class Trainer:
         self._nonfinite_streak = 0
         self._pending_maintenance = None
         self._viewpoint_stack: list = []
-        self._gt_cache: dict = {}
+        # GT device cache: LRU over (kind, uid) with an optional byte
+        # budget (None = pin everything, the small-scene fast path).
+        import collections
+        self.gt_cache_bytes = gt_cache_bytes
+        self._gt_cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._gt_bytes = 0
+        self._next_cam = None
+        # Densify reports awaiting a host read: capacity checks need host
+        # scalars, but reading them inside the densify window costs a
+        # blocked pipeline-draining RPC each (the measured ~4 s/window
+        # long-run stall). Entries are (report, step_metrics) device trees;
+        # _drain_reports folds them at sync points in ONE jax.device_get.
+        self._pending_reports: list = []
+        self._extent_dev = jnp.float32(self.extent)
 
     def pick_camera(self):
         """Random-without-replacement epoch sampling (train.py:84-86)."""
@@ -239,13 +253,26 @@ class Trainer:
         if it % 1000 == 0:
             self.ts = self.ts.replace(gstate=G.one_up_sh_degree(
                 self.ts.gstate, self.max_sh_degree))
-        cam = camera if camera is not None else self.pick_camera()
+        if camera is not None:
+            cam = camera
+        elif self._next_cam is not None:
+            cam = self._next_cam
+            self._next_cam = None
+        else:
+            cam = self.pick_camera()
         gt_image = self._device_cache(cam, "image")
         gt_feature = self._device_cache(cam, "feature")
         self.ts, metrics = train_step(
             self.ts, cam.to_view(), gt_image, gt_feature, self.bg,
             jnp.int32(it), ocfg=self.ocfg, rcfg=self.rcfg,
             speedup=self.speedup, max_sh_degree=self.max_sh_degree)
+        if camera is None:
+            # draw next epoch-sample NOW (same rng sequence, one step
+            # early) and warm its cache: the upload overlaps this step's
+            # device compute instead of serializing before the next one
+            self._next_cam = self.pick_camera()
+            self._device_cache(self._next_cam, "image")
+            self._device_cache(self._next_cam, "feature")
 
         # Failure detection (absent in the reference, SURVEY.md section 5):
         # non-finite steps are discarded DEVICE-SIDE inside train_step (the
@@ -254,65 +281,133 @@ class Trainer:
         # non-finite observations mean training is stuck re-attempting from
         # the same state — abort.
         if sync:
-            # ONE device_get for the whole metrics dict: each individual
-            # float() is a separate blocked transfer (~100-200ms RPC on
-            # tunneled TPUs, docs/tpu_notes.md)
-            host_metrics = {k: float(v)
-                            for k, v in jax.device_get(metrics).items()}
-            if not host_metrics["finite"]:
-                self._nonfinite_streak += 1
-                print(f"[trainer] non-finite loss at iteration {it} "
-                      f"(streak {self._nonfinite_streak}); step discarded "
-                      "on device")
-                if self._nonfinite_streak >= 5:
-                    raise FloatingPointError(
-                        f"loss non-finite at {self._nonfinite_streak} "
-                        "consecutive sync points")
-                return host_metrics
-            self._nonfinite_streak = 0
-            self._pending_maintenance = (it, host_metrics)
+            host_metrics, ok = self._sync_metrics(metrics, it, "trainer")
+            if ok:
+                self._pending_maintenance = (it, host_metrics)
             return host_metrics
 
         self._pending_maintenance = (it, metrics)
         return metrics
 
-    def flush_maintenance(self) -> None:
+    def _sync_metrics(self, metrics, it: int, tag: str):
+        """Blocking metrics read at a sync point, plus everything that
+        should piggyback on an already-drained pipeline: folding pending
+        densify reports and the capacity checks. Returns (host_metrics,
+        finite)."""
+        # ONE device_get for the whole metrics dict: each individual
+        # float() is a separate blocked transfer (~100-200ms RPC on
+        # tunneled TPUs, docs/tpu_notes.md)
+        host_metrics = {k: float(v)
+                        for k, v in jax.device_get(metrics).items()}
+        if not host_metrics["finite"]:
+            self._nonfinite_streak += 1
+            print(f"[{tag}] non-finite loss at iteration {it} "
+                  f"(streak {self._nonfinite_streak}); step discarded "
+                  "on device")
+            if self._nonfinite_streak >= 5:
+                raise FloatingPointError(
+                    f"loss non-finite at {self._nonfinite_streak} "
+                    "consecutive sync points")
+            return host_metrics, False
+        self._nonfinite_streak = 0
+        # The queue just drained: pending densify reports are long computed
+        # and cost one extra round-trip here, vs a pipeline-stalling
+        # blocked read inside the densify window (the measured ~4 s/window
+        # long-run decay, docs/tpu_notes.md "Long-run CLI throughput").
+        self._drain_reports()
+        self._maybe_grow_raster(host_metrics)
+        return host_metrics, True
+
+    def flush_maintenance(self, drain: bool = False) -> None:
         """Apply the deferred densify/prune/opacity-reset for the last
         completed iteration (a no-op when nothing is pending). Call before
         saving FULL training checkpoints to match the reference's ordering
         (train.py:151-153 saves them post-densification); scene PLY saves
-        must NOT call this."""
-        if self._pending_maintenance is None:
-            return
-        it, metrics = self._pending_maintenance
-        self._pending_maintenance = None
-        metrics = jax.device_get(metrics)  # one transfer (no-op if host)
+        must NOT call this.
+
+        Dispatch-only: no host reads. Densify reports queue in
+        ``_pending_reports`` and fold at the next sync point (or with
+        ``drain=True``), so capacity growth lags the triggering window by
+        at most one sync interval — densify grants fewer slots in the
+        interim and recovers after the re-jit."""
+        if self._pending_maintenance is not None:
+            it, metrics = self._pending_maintenance
+            self._pending_maintenance = None
+            self._dispatch_maintenance(it, metrics)
+        if drain:
+            self._drain_reports()
+
+    def _dispatch_maintenance(self, it: int, metrics) -> None:
         o = self.ocfg
         if it < o.densify_until_iter:
             if it > o.densify_from_iter and it % o.densification_interval == 0:
-                self.key, sub = jax.random.split(self.key)
+                sub, extent = self._densify_inputs()
                 self.ts, report = densify_step(
-                    self.ts, sub, jnp.float32(self.extent), ocfg=o,
+                    self.ts, sub, extent, ocfg=o,
                     use_screen_size_prune=it > o.opacity_reset_interval)
-                self._maybe_grow(report)
-                self._maybe_grow_raster(metrics)
+                self._pending_reports.append((report, metrics))
             if it % o.opacity_reset_interval == 0 or (
                     self.white_background and it == o.densify_from_iter):
                 self.ts = reset_opacity_step(self.ts)
 
+    def _densify_inputs(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub, self._extent_dev
+
+    def _drain_reports(self) -> None:
+        """Fold every queued densify report (+ its window's step metrics)
+        into host capacity decisions with a single blocking transfer."""
+        if not self._pending_reports:
+            return
+        batch = jax.device_get(self._pending_reports)
+        self._pending_reports = []
+        shortfall = max(int(r.wanted_slots) - int(r.granted_slots)
+                        for r, _ in batch)
+        if shortfall > 0:
+            num_active = int(batch[-1][0].num_active)
+            self._grow_params(_round_capacity(
+                int((num_active + shortfall) * 1.5)))
+        agg = {"num_instances": max(float(m["num_instances"])
+                                    for _, m in batch)}
+        with_mtc = [m for _, m in batch if "max_tile_count" in m]
+        if with_mtc:
+            agg["max_tile_count"] = max(float(m["max_tile_count"])
+                                        for m in with_mtc)
+        self._maybe_grow_raster(agg)
+
     def _device_cache(self, cam, kind: str):
-        """GT tensors are uploaded once per camera and reused across epochs."""
-        cache = self._gt_cache.setdefault(kind, {})
-        if cam.uid not in cache:
-            if kind == "image":
-                cache[cam.uid] = jnp.asarray(cam.image)
-            else:
-                cache[cam.uid] = (
-                    jnp.asarray(cam.semantic_feature)
-                    if cam.semantic_feature is not None
-                    else jnp.zeros((*cam.image.shape[:2],
-                                    self.feature_out_dim), jnp.float32))
-        return cache[cam.uid]
+        """GT tensors live in a byte-budgeted device LRU (unbounded when
+        gt_cache_bytes is None). At reference scale each view's fp16 LSeg
+        map is 100-200 MB (README.md:152) — pinning every view OOMs a
+        16 GB chip near ~100 views, so over-budget views are evicted and
+        re-uploaded asynchronously on their next epoch (the one-camera
+        lookahead in step() overlaps that upload with the previous step's
+        compute). Zero-fill of absent teacher maps is only reachable via
+        load_scene(allow_missing_features=True); the loader raises
+        otherwise (dataset_readers.py:110-112 semantics)."""
+        key = (kind, cam.uid)
+        entry = self._gt_cache.get(key)
+        if entry is not None:
+            self._gt_cache.move_to_end(key)
+            return entry[0]
+        if kind == "image":
+            host = np.asarray(cam.image, np.float32)
+        elif cam.semantic_feature is not None:
+            host = np.asarray(cam.semantic_feature, np.float32)
+        else:
+            host = np.zeros((*cam.image.shape[:2], self.feature_out_dim),
+                            np.float32)
+        arr = jnp.asarray(host)
+        self._gt_cache[key] = (arr, host.nbytes)
+        self._gt_bytes += host.nbytes
+        if self.gt_cache_bytes is not None:
+            # keep >= 4 entries: the current AND prefetched camera's
+            # image+feature pairs must coexist whatever the budget
+            while (self._gt_bytes > self.gt_cache_bytes
+                   and len(self._gt_cache) > 4):
+                _, (_, nbytes) = self._gt_cache.popitem(last=False)
+                self._gt_bytes -= nbytes
+        return arr
 
     def _maybe_grow_raster(self, metrics):
         """Grow rasterizer capacities (re-jit) when binning overflows."""
@@ -342,20 +437,18 @@ class Trainer:
                   f"{cfg.instance_capacity}, tile {cfg.tile_capacity}")
             self.rcfg = cfg
 
-    def _maybe_grow(self, report):
-        # single transfer instead of three blocked scalar reads
-        wanted, granted, num_active = (int(x) for x in jax.device_get(
-            (report.wanted_slots, report.granted_slots, report.num_active)))
-        if wanted > granted:
-            new_cap = _round_capacity(
-                int((num_active + wanted - granted) * 1.5))
-            ts = self.ts
-            params, gstate, mu = G.grow_capacity(
-                ts.params, ts.gstate, new_cap, ts.adam.mu)
-            _, _, nu = G.grow_capacity(ts.params, ts.gstate, new_cap, ts.adam.nu)
-            self.ts = ts.replace(
-                params=params, gstate=gstate,
-                adam=optim.AdamState(mu=mu, nu=nu, step=ts.adam.step))
+    def _grow_params(self, new_cap: int) -> None:
+        """Re-jit the model at a larger static capacity (host decision made
+        in _drain_reports from already-transferred report scalars)."""
+        ts = self.ts
+        if new_cap <= ts.params.capacity:
+            return
+        params, gstate, mu = G.grow_capacity(
+            ts.params, ts.gstate, new_cap, ts.adam.mu)
+        _, _, nu = G.grow_capacity(ts.params, ts.gstate, new_cap, ts.adam.nu)
+        self.ts = ts.replace(
+            params=params, gstate=gstate,
+            adam=optim.AdamState(mu=mu, nu=nu, step=ts.adam.step))
 
     def train(self, iterations: int | None = None, log_every: int = 50,
               callback=None):
