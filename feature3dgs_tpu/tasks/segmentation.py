@@ -62,3 +62,53 @@ def mean_iou(pred: np.ndarray, gt: np.ndarray, num_classes: int) -> float:
         else:
             ious.append(np.logical_and(p, g).sum() / union)
     return float(np.nanmean(ious))
+
+
+# Replica-protocol label merges, in the reference's 1-BASED ADE20K id
+# space (segmentation_metric.py:787-797): TV->door, rug->floor,
+# pillow->cushion. Applied identically to teacher and student maps before
+# scoring, collapsing Replica's ambiguous classes onto their room-scale
+# parents.
+REPLICA_REMAP = {90: 15, 29: 4, 58: 40}
+
+
+def replica_remap(labels: np.ndarray,
+                  table: dict | None = None) -> np.ndarray:
+    """Apply the Replica label merges to a 1-based label map (vectorized
+    form of segmentation_metric.py:787-797's per-pixel loop)."""
+    labels = np.asarray(labels).copy()
+    for src, dst in (table or REPLICA_REMAP).items():
+        labels[labels == src] = dst
+    return labels
+
+
+def topk_frequent_iou(teacher: np.ndarray, student: np.ndarray,
+                      num_classes: int = 7) -> float:
+    """Reference ``calculate_iou`` (segmentation_metric.py:76-90): IoU
+    nan-averaged over the ``num_classes`` labels most frequent in the
+    CONCATENATED teacher+student maps — the Replica protocol's
+    '7-class mIoU'."""
+    teacher, student = np.asarray(teacher), np.asarray(student)
+    unique_labels, counts = np.unique(
+        np.concatenate((teacher.ravel(), student.ravel())),
+        return_counts=True)
+    sorted_labels = unique_labels[np.argsort(-counts)]
+    ious = []
+    for c in sorted_labels[:num_classes]:
+        p, g = student == c, teacher == c
+        union = np.logical_or(p, g).sum()
+        ious.append(np.nan if union == 0
+                    else np.logical_and(p, g).sum() / union)
+    return float(np.nanmean(ious))
+
+
+def resize_labels_nearest(labels: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor label-map resize (the reference resizes REMAPPED
+    label maps to 159x119 with mode='nearest',
+    segmentation_metric.py:801-807). torch F.interpolate(nearest) picks
+    index floor(i * in/out) — match it exactly."""
+    labels = np.asarray(labels)
+    src_h, src_w = labels.shape[-2:]
+    rows = (np.arange(h) * src_h // h).clip(max=src_h - 1)
+    cols = (np.arange(w) * src_w // w).clip(max=src_w - 1)
+    return labels[..., rows[:, None], cols[None, :]]

@@ -35,6 +35,14 @@ def main(argv=None):
     parser.add_argument("--resize", nargs=2, type=int, default=[159, 119],
                         help="comparison resolution WxH (reference uses "
                              "159x119, segmentation_metric.py:795)")
+    parser.add_argument("--replica_protocol", action="store_true",
+                        help="published Replica eval protocol "
+                             "(segmentation_metric.py:780-833): labels "
+                             "argmaxed at native feature resolution in "
+                             "1-based ADE ids, TV/rug/pillow merged into "
+                             "door/floor/cushion, label maps (not "
+                             "features) nearest-resized to --resize, mIoU "
+                             "over the 7 most frequent classes")
     parser.add_argument("--output", default="")
     args = parser.parse_args(argv)
 
@@ -54,6 +62,12 @@ def main(argv=None):
 
     def labels_for(path):
         fmap = _load_fmap(path).transpose(1, 2, 0)
+        if args.replica_protocol:
+            # reference protocol: argmax at native resolution, 1-based
+            # ids, Replica merges, then NEAREST-resize the LABEL map
+            lab, _ = seg.segment_features(jnp.asarray(fmap), text)
+            lab = seg.replica_remap(np.asarray(lab) + 1)
+            return seg.resize_labels_nearest(lab, h, w)
         fmap = resize_bilinear_align_corners(jnp.asarray(fmap), h, w)
         lab, _ = seg.segment_features(fmap, text)
         return np.asarray(lab)
@@ -72,7 +86,9 @@ def main(argv=None):
         s_lab = labels_for(os.path.join(args.student_dir, n))
         t_lab = labels_for(os.path.join(args.teacher_dir, t_cands[i]))
         acc = seg.pixel_accuracy(s_lab, t_lab)
-        miou = seg.mean_iou(s_lab, t_lab, len(labels))
+        miou = (seg.topk_frequent_iou(t_lab, s_lab, 7)
+                if args.replica_protocol
+                else seg.mean_iou(s_lab, t_lab, len(labels)))
         accs.append(acc)
         mious.append(miou)
         rows.append({"student": n, "teacher": t_cands[i],

@@ -135,3 +135,71 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ts2.gstate.active_sh_degree == 2
     np.testing.assert_allclose(ts2.params.xyz, params.xyz)
     np.testing.assert_allclose(ts2.decoder["w"], dec["w"])
+
+
+def test_replica_remap_hand_computed():
+    """Replica merges in 1-based ADE ids (segmentation_metric.py:787-797):
+    90(TV)->15(door), 29(rug)->4(floor), 58(pillow)->40(cushion)."""
+    from feature3dgs_tpu.tasks import segmentation as seg
+    lab = np.array([[90, 29, 58], [15, 4, 40], [1, 90, 7]])
+    out = seg.replica_remap(lab)
+    np.testing.assert_array_equal(
+        out, [[15, 4, 40], [15, 4, 40], [1, 15, 7]])
+    # input untouched (copy semantics)
+    assert lab[0, 0] == 90
+
+
+def test_topk_frequent_iou_hand_computed():
+    """calculate_iou(teacher, student, k): IoU over the k labels most
+    frequent in the CONCATENATED maps (segmentation_metric.py:76-90)."""
+    from feature3dgs_tpu.tasks import segmentation as seg
+    teacher = np.array([[1, 1, 2], [1, 2, 3]])
+    student = np.array([[1, 2, 2], [1, 2, 9]])
+    # counts over concat: 1 -> 5, 2 -> 5, 3 -> 1, 9 -> 1
+    # top-2: {1: inter 2 / union 3, 2: inter 2 / union 3}
+    np.testing.assert_allclose(
+        seg.topk_frequent_iou(teacher, student, 2), 2 / 3)
+    # k=4 adds 3 and 9, both IoU 0 -> mean (2/3 + 2/3 + 0 + 0)/4
+    np.testing.assert_allclose(
+        seg.topk_frequent_iou(teacher, student, 4), 1 / 3)
+
+
+def test_resize_labels_nearest_matches_torch():
+    """Nearest label resize must agree with the reference's
+    F.interpolate(mode='nearest') (segmentation_metric.py:801-807)."""
+    import torch
+    import torch.nn.functional as TF
+    from feature3dgs_tpu.tasks import segmentation as seg
+    rng = np.random.RandomState(0)
+    lab = rng.randint(0, 12, (37, 53))
+    ours = seg.resize_labels_nearest(lab, 119, 159)
+    ref = TF.interpolate(torch.from_numpy(lab)[None, None].float(),
+                         size=(119, 159), mode="nearest")[0, 0].long().numpy()
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_segmentation_metric_replica_protocol(tmp_path):
+    """scripts/segmentation_metric.py --replica_protocol end to end on
+    synthetic feature maps: near-identical teacher/student features must
+    produce acc ~1 and 7-class mIoU ~1 through remap + nearest resize."""
+    import scripts.segmentation_metric as sm
+    rng = np.random.RandomState(1)
+    sdir, tdir = tmp_path / "student", tmp_path / "teacher"
+    sdir.mkdir(), tdir.mkdir()
+    text = rng.randn(91, 16).astype(np.float32)  # ids up to 91 (1-based)
+    np.save(tmp_path / "text.npy", text)
+    for i in range(2):
+        fmap = text[rng.randint(0, 91, (24, 32))]  # every pixel = a class vec
+        fmap = fmap.transpose(2, 0, 1).astype(np.float32)
+        np.save(sdir / f"r_{i}_fmap_CxHxW.npy", fmap)
+        np.save(tdir / f"r_{i}_fmap_CxHxW.npy",
+                fmap + 1e-4 * rng.randn(*fmap.shape).astype(np.float32))
+    out = tmp_path / "res.json"
+    sm.main(["--student_dir", str(sdir), "--teacher_dir", str(tdir),
+             "--label_src", ",".join(f"c{j}" for j in range(91)),
+             "--text_features", str(tmp_path / "text.npy"),
+             "--replica_protocol", "--output", str(out)])
+    import json
+    res = json.loads(out.read_text())
+    assert res["mean_accuracy"] > 0.99
+    assert res["mean_miou"] > 0.99
