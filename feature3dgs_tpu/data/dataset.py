@@ -214,12 +214,33 @@ def load_blender_scene(path: str, *, foundation_model: str | None = None,
                      feature_dim=feat_dim, source_path=path)
 
 
-def load_scene(path: str, **kw) -> SceneData:
-    """Auto-detect scene type (scene/__init__.py:38-46)."""
+def load_scene(path: str, allow_missing_features: bool = False,
+               **kw) -> SceneData:
+    """Auto-detect scene type (scene/__init__.py:38-46).
+
+    When a foundation model is requested, every train camera must have a
+    teacher feature map on disk — the reference fails loudly there
+    (dataset_readers.py:110-112 raises on a missing .pt) and so do we:
+    silently zero-filling a missing map would train the semantic field of
+    those views toward zero. ``allow_missing_features=True`` restores the
+    zero-fill escape hatch for deliberately partial datasets."""
     if os.path.exists(os.path.join(path, "sparse")):
         kw.pop("white_background", None)
-        return load_colmap_scene(path, **kw)
-    if os.path.exists(os.path.join(path, "transforms_train.json")):
+        scene = load_colmap_scene(path, **kw)
+    elif os.path.exists(os.path.join(path, "transforms_train.json")):
         kw.pop("images_dir", None)
-        return load_blender_scene(path, **kw)
-    raise ValueError(f"Could not recognize scene type for {path}")
+        scene = load_blender_scene(path, **kw)
+    else:
+        raise ValueError(f"Could not recognize scene type for {path}")
+    if kw.get("foundation_model") and not allow_missing_features:
+        missing = [c.image_name for c in scene.train_cameras
+                   if c.semantic_feature is None]
+        if missing:
+            raise FileNotFoundError(
+                f"{len(missing)} train cameras have no "
+                f"'{FEATURE_DIRS[kw['foundation_model']]}' feature map "
+                f"(first: {missing[0]}); run the encoder export first, or "
+                "pass --allow_missing_features to train those views' "
+                "features toward zero (reference raises too, "
+                "dataset_readers.py:110-112)")
+    return scene

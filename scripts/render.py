@@ -88,7 +88,10 @@ def main(argv=None):
     scene = load_scene(
         mcfg.source_path, foundation_model=mcfg.foundation_model or None,
         images_dir=mcfg.images, resolution=mcfg.resolution,
-        eval_split=mcfg.eval, white_background=mcfg.white_background)
+        eval_split=mcfg.eval, white_background=mcfg.white_background,
+        # rendering consumes the trained field, not teacher maps — a
+        # partially exported dataset must not block it
+        allow_missing_features=True)
 
     decoder = None
     if mcfg.speedup:

@@ -176,3 +176,53 @@ def test_ply_save_precedes_opacity_reset(scene, tmp_path):
     # next step applies the deferred reset first, then trains
     tr.step()
     assert tr.iteration == 5
+
+
+def test_gt_cache_lru_budget():
+    """Many-view scene under a tight gt_cache_bytes budget: the device LRU
+    must stay within budget (VERDICT r2: unbounded _device_cache OOMs a
+    16 GB chip near ~100 reference-scale views) while training still
+    converges — evicted views re-upload on their next epoch."""
+    from feature3dgs_tpu.data.synthetic import synthetic_scene
+    scene = synthetic_scene(n_cams=12, w=W, h=H, n_pts=96, f_dim=F_DIM)
+    per_view = (W * H * 3 + (H // 2) * (W // 2) * F_DIM) * 4
+    budget = 5 * per_view  # forces eviction with 12 views (+ lookahead)
+    tr = Trainer(scene, ocfg=OptimizationConfig(
+                     iterations=30, densify_from_iter=1000,
+                     lr=optim.LRConfig(position_lr_max_steps=30)),
+                 rcfg=RCFG, max_sh_degree=2, capacity_headroom=2.0,
+                 gt_cache_bytes=budget)
+    for _ in range(30):
+        m = tr.step()
+        assert tr._gt_bytes <= budget, (tr._gt_bytes, budget)
+    assert np.isfinite(m["loss"])
+    # eviction actually happened: 12 views x2 entries never all cached
+    assert len(tr._gt_cache) < 24
+
+
+def test_missing_feature_map_raises(tmp_path):
+    """load_scene must fail loudly when -f is set but a train camera has
+    no teacher map (reference raises, dataset_readers.py:110-112) unless
+    allow_missing_features is passed."""
+    import json
+    from PIL import Image
+    from feature3dgs_tpu.data.dataset import load_scene
+    root = tmp_path / "scene"
+    (root / "train").mkdir(parents=True)
+    (root / "rgb_feature_langseg").mkdir()
+    frames = []
+    for i in range(2):
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+            root / "train" / f"r_{i}.png")
+        frames.append({"file_path": f"./train/r_{i}",
+                       "transform_matrix": np.eye(4).tolist()})
+    # only camera 0 gets a feature map
+    np.save(root / "rgb_feature_langseg" / "r_0_fmap_CxHxW.npy",
+            np.zeros((4, 8, 8), np.float32))
+    json.dump({"camera_angle_x": 0.8, "frames": frames},
+              open(root / "transforms_train.json", "w"))
+    with pytest.raises(FileNotFoundError, match="r_1"):
+        load_scene(str(root), foundation_model="lseg")
+    scene = load_scene(str(root), foundation_model="lseg",
+                       allow_missing_features=True)
+    assert scene.train_cameras[1].semantic_feature is None
