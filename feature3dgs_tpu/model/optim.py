@@ -78,15 +78,26 @@ def xyz_lr(cfg: LRConfig, step, spatial_lr_scale: float):
 
 
 def group_lrs(cfg: LRConfig, step, spatial_lr_scale: float) -> GaussianParams:
-    """Per-leaf learning rates as a GaussianParams-shaped pytree of scalars."""
+    """Per-leaf learning rates as a GaussianParams-shaped pytree of scalars.
+
+    ``step`` may be a [B] SPAN of reference iterations (batched trainers,
+    one fused Adam update per B camera-iterations): each leaf is then the
+    SUM of its per-iteration lr over the span, so the fused update advances
+    parameters by the same cumulative displacement as the reference's B
+    sequential updates would under a slowly-varying Adam direction (the
+    linear-scaling rule; train.py:77-81 steps the scheduler once per
+    camera). A scalar step (B=1) reduces to the reference's exact
+    per-iteration values."""
+    step = jnp.asarray(step)
+    b = int(step.size) if step.ndim else 1
     return GaussianParams(
-        xyz=xyz_lr(cfg, step, spatial_lr_scale),
-        features_dc=jnp.float32(cfg.feature_lr),
-        features_rest=jnp.float32(cfg.feature_lr / 20.0),
-        scaling=jnp.float32(cfg.scaling_lr),
-        rotation=jnp.float32(cfg.rotation_lr),
-        opacity=jnp.float32(cfg.opacity_lr),
-        semantic_feature=jnp.float32(cfg.semantic_feature_lr),
+        xyz=jnp.sum(xyz_lr(cfg, step, spatial_lr_scale)),
+        features_dc=jnp.float32(b * cfg.feature_lr),
+        features_rest=jnp.float32(b * cfg.feature_lr / 20.0),
+        scaling=jnp.float32(b * cfg.scaling_lr),
+        rotation=jnp.float32(b * cfg.rotation_lr),
+        opacity=jnp.float32(b * cfg.opacity_lr),
+        semantic_feature=jnp.float32(b * cfg.semantic_feature_lr),
     )
 
 

@@ -207,7 +207,10 @@ def sharded_train_step(
     gt_images: jnp.ndarray,      # [B,H,W,3]
     gt_features: jnp.ndarray,    # [B,h,w,F]
     bg: jnp.ndarray,
-    iteration: jnp.ndarray,      # scalar int32 (1-based, for the xyz LR)
+    iteration: jnp.ndarray,      # [B] span of 1-based iterations (scalar ok
+                                 # for B=1): group_lrs folds the span's
+                                 # per-iteration schedule into the fused
+                                 # update (linear-scaling rule)
     *,
     mesh: jax.sharding.Mesh,
     ocfg,                        # train.trainer.OptimizationConfig

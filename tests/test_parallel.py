@@ -198,3 +198,67 @@ def test_distributed_trainer_matches_single_trainer():
             f"exceed 6e-4 after 50 iters (max {err.max():.2e})")
         assert err.max() < 5e-2, (
             f"dist vs single param {name}: max drift {err.max():.2e}")
+
+
+def test_group_lrs_span_matches_reference_schedule():
+    """Fused-batch LRs must equal the SUM of the reference's per-iteration
+    values over the span (train.py:77-81 steps the xyz scheduler once per
+    camera-iteration; VERDICT r2 weak #4)."""
+    from feature3dgs_tpu.model import optim
+    cfg = optim.LRConfig(position_lr_max_steps=100)
+    span = np.arange(37, 41, dtype=np.int32)
+    expect = sum(float(optim.xyz_lr(cfg, jnp.int32(i), 2.0)) for i in span)
+    got = optim.group_lrs(cfg, jnp.asarray(span), 2.0)
+    np.testing.assert_allclose(float(got.xyz), expect, rtol=1e-6)
+    np.testing.assert_allclose(float(got.opacity), 4 * cfg.opacity_lr,
+                               rtol=1e-6)
+    # scalar path keeps exact per-iteration values (B=1 parity tests)
+    np.testing.assert_allclose(
+        float(optim.group_lrs(cfg, jnp.int32(37), 2.0).xyz),
+        float(optim.xyz_lr(cfg, jnp.int32(37), 2.0)), rtol=0)
+
+
+def test_batched_b4_trainer_tracks_single_trainer():
+    """B=4 fused steps (cameras_per_step=4 on a 2x4 mesh) over a densify +
+    opacity-reset span must train comparably to the single-device Trainer
+    fed the identical camera sequence — the span-cumulative LR rule makes
+    one fused update stand in for 4 sequential reference updates."""
+    import __graft_entry__ as ge
+    from feature3dgs_tpu.parallel.trainer import DistributedTrainer
+    from feature3dgs_tpu.train.trainer import Trainer
+
+    scene = ge._synthetic_scene(n_cams=8, w=W, h=H, n_pts=96, f_dim=F_DIM)
+    ocfg = OptimizationConfig(
+        iterations=48, densify_from_iter=5, densification_interval=16,
+        densify_until_iter=1000, opacity_reset_interval=24,
+        densify_grad_threshold=1e-4)
+    kw = dict(ocfg=ocfg, rcfg=RCFG, max_sh_degree=2, capacity_headroom=2.0)
+
+    single = Trainer(scene, **kw)
+    order = [single.pick_camera() for _ in range(48)]
+    single2 = Trainer(scene, **kw)
+    h1 = []
+    for cam in order:
+        h1.append(single2.step(camera=cam))
+    single2.flush_maintenance(drain=True)
+
+    mesh = make_mesh((2, 4))
+    dist = DistributedTrainer(scene, mesh=mesh, cameras_per_step=4, **kw)
+    h4 = []
+    with jax.set_mesh(mesh):
+        for k in range(12):
+            h4.append(dist.step(cameras=order[4 * k: 4 * k + 4]))
+        dist.flush_maintenance(drain=True)
+
+    assert dist.iteration == single2.iteration == 48
+    l1 = np.array([m["loss"] for m in h1[3::4]])  # end-of-span losses
+    l4 = np.array([m["loss"] for m in h4])
+    assert np.isfinite(l4).all()
+    # same convergence regime: fused losses track the sequential ones
+    # within 25% once training settles (first window excluded: 4 fused-vs-
+    # sequential updates diverge most at the cold start)
+    rel = np.abs(l4[2:] - l1[2:]) / np.maximum(l1[2:], 1e-6)
+    assert rel.max() < 0.25, (l1, l4)
+    # both runs must have densified and reset on schedule
+    assert int(dist.ts.gstate.num_active) > 96
+    assert int(single2.ts.gstate.num_active) > 96
