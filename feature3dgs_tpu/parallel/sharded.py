@@ -199,7 +199,8 @@ class _StateView:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "ocfg", "rcfg", "speedup", "max_sh_degree"),
+    static_argnames=("mesh", "ocfg", "rcfg", "speedup", "max_sh_degree",
+                     "shard_gaussians"),
     donate_argnums=(0,))  # TrainState buffers alias their updates in-place
 def sharded_train_step(
     ts,                          # train.trainer.TrainState
@@ -217,6 +218,7 @@ def sharded_train_step(
     rcfg: RasterConfig,
     speedup: bool = False,
     max_sh_degree: int = 3,
+    shard_gaussians: bool = False,
 ):
     """One dp x sp training step over a camera batch — the mesh counterpart
     of train.trainer.train_step (same TrainState in/out contract).
@@ -239,9 +241,30 @@ def sharded_train_step(
     b_loc = b // n_data
     gstate = ts.gstate
 
+    # Gaussian-axis sharding (SURVEY §2.4 row 2, "Gaussian-sharded with
+    # gather"): params enter the render shard_map row-sharded over ALL
+    # devices and are all_gather'ed transiently inside; shard_map's AD
+    # transposes that gather into a psum_scatter, so per-Gaussian gradients
+    # leave the mesh already row-sharded (reduce-scatter, comm-optimal) and
+    # Adam / densify / growth run on 1/n_dev-size shards per device. With
+    # the flag off everything stays replicated (the small-scene fast path).
+    gauss_axes = ("data", "tile")
+    if shard_gaussians:
+        gauss_spec = P(gauss_axes)
+
+        def _gather(x):
+            return jax.lax.all_gather(x, gauss_axes, tiled=True)
+    else:
+        gauss_spec = P()
+
+        def _gather(x):
+            return x
+
     def loss_fn(params, ndc_offset, decoder):
         def shard_fn(view, proj, campos, tfx, tfy, gt_img, gt_feat,
                      params, alive, ndc_offset, decoder):
+            params = jax.tree.map(_gather, params)
+            alive = _gather(alive)
             st = _StateView(gstate, alive)
             total = jnp.float32(0.0)
             ll1 = jnp.float32(0.0)
@@ -300,7 +323,8 @@ def sharded_train_step(
             shard_fn, mesh=mesh,
             in_specs=(P("data"), P("data"), P("data"), P("data"), P("data"),
                       P("data"), P("data"),
-                      jax.tree.map(lambda _: P(), params), P(), P(),
+                      jax.tree.map(lambda _: gauss_spec, params), gauss_spec,
+                      P(),
                       jax.tree.map(lambda _: P(), decoder)),
             out_specs=(P(), P(), P(), P(), P(), P()), check_vma=False,
         )(cam_arrays["view"], cam_arrays["proj"], cam_arrays["campos"],
@@ -337,6 +361,22 @@ def sharded_train_step(
     if speedup:
         decoder = _keep(decoder, ts.decoder)
         decoder_adam = _keep(decoder_adam, ts.decoder_adam)
+
+    if shard_gaussians:
+        # Pin the outgoing state to the same row sharding the inputs carry:
+        # GSPMD would otherwise pick its own output layouts (densify-stat
+        # mixing pulls toward replication), which defeats the memory story
+        # and flips input shardings (-> recompile) on the next call.
+        cap = params.capacity
+        g_sh = jax.sharding.NamedSharding(mesh, P(gauss_axes))
+        r_sh = jax.sharding.NamedSharding(mesh, P())
+
+        def _pin(x):
+            if hasattr(x, "ndim") and x.ndim and x.shape[0] == cap:
+                return jax.lax.with_sharding_constraint(x, g_sh)
+            return jax.lax.with_sharding_constraint(x, r_sh)
+
+        params, adam, gstate = jax.tree.map(_pin, (params, adam, gstate))
 
     metrics = {
         "finite": finite,

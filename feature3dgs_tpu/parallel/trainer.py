@@ -38,7 +38,8 @@ class DistributedTrainer(Trainer):
     """
 
     def __init__(self, scene: SceneData, *, mesh: jax.sharding.Mesh,
-                 cameras_per_step: int | None = None, **kwargs):
+                 cameras_per_step: int | None = None,
+                 shard_gaussians: bool = False, **kwargs):
         super().__init__(scene, **kwargs)
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
@@ -47,6 +48,45 @@ class DistributedTrainer(Trainer):
             raise ValueError(
                 f"cameras_per_step {self.batch} not divisible by the data "
                 f"axis {self.n_data}")
+        # Gaussian-axis sharding (SURVEY §2.4 row 2): params, Adam moments
+        # and densify stats live row-sharded over ALL mesh devices; the
+        # render gathers them transiently and gradients reduce-scatter
+        # back (sharded.sharded_train_step). Memory per device for the
+        # model+optimizer state drops ~n_dev-fold; results stay within
+        # collective-reassociation float drift of the replicated baseline.
+        self.shard_gaussians = shard_gaussians
+        if shard_gaussians:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._cap_mult = int(mesh.devices.size)
+            self._gauss_sharding = NamedSharding(mesh, P(("data", "tile")))
+            self._repl_sharding = NamedSharding(mesh, P())
+            # equal row shards per device (shard_map spec): pad capacity up
+            # to a device multiple, then pin the initial placement
+            self._grow_params(self.ts.params.capacity)
+            self.ts = self._place_state(self.ts)
+
+    def _grow_params(self, new_cap: int) -> None:
+        if not self.shard_gaussians:
+            return super()._grow_params(new_cap)
+        new_cap = -(-new_cap // self._cap_mult) * self._cap_mult
+        super()._grow_params(new_cap)
+        self.ts = self._place_state(self.ts)
+
+    def _place_state(self, ts):
+        """Pin capacity-leading leaves to the Gaussian row sharding and
+        everything else replicated (no-op on already-placed arrays).
+
+        Called after every host-side state surgery (growth, densify, reset):
+        those jitted ops carry no sharding annotations, so GSPMD may emit
+        outputs with drifted layouts; re-pinning keeps sharded_train_step's
+        input shardings stable across calls (no reshard/recompile churn)."""
+        cap = ts.params.capacity
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim and x.shape[0] == cap:
+                return jax.device_put(x, self._gauss_sharding)
+            return jax.device_put(x, self._repl_sharding)
+        return jax.tree.map(put, ts)
 
     def step(self, cameras=None, sync: bool = True) -> dict:
         """One mesh step over a camera batch (counts as ``batch``
@@ -73,7 +113,8 @@ class DistributedTrainer(Trainer):
         self.ts, metrics = sharded_train_step(
             self.ts, cam_arrays, gt_images, gt_features, self.bg,
             its, mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
-            speedup=self.speedup, max_sh_degree=self.max_sh_degree)
+            speedup=self.speedup, max_sh_degree=self.max_sh_degree,
+            shard_gaussians=self.shard_gaussians)
 
         if sync:
             host_metrics, ok = self._sync_metrics(metrics, self.iteration,
@@ -111,6 +152,8 @@ class DistributedTrainer(Trainer):
                     and it - b + 1 <= o.densify_from_iter <= it):
                 from feature3dgs_tpu.train.trainer import reset_opacity_step
                 self.ts = reset_opacity_step(self.ts)
+            if self.shard_gaussians:
+                self.ts = self._place_state(self.ts)
 
     def train(self, iterations: int | None = None, log_every: int = 50,
               callback=None):

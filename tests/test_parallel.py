@@ -200,6 +200,103 @@ def test_distributed_trainer_matches_single_trainer():
             f"dist vs single param {name}: max drift {err.max():.2e}")
 
 
+def test_gaussian_sharded_step_matches_replicated():
+    """shard_gaussians=True: params/Adam/densify stats live row-sharded
+    over all 8 devices (1/8 of capacity per device) and one step matches
+    the replicated step to collective-reassociation tolerance
+    (SURVEY.md 2.4 row 2, 'Gaussian-sharded with gather')."""
+    params, state = _model(seed=7)
+    adam = optim.init_adam(params)
+    ts = TrainState(params=params, gstate=state, adam=adam,
+                    decoder=None, decoder_adam=None)
+    rng = np.random.RandomState(8)
+    cams = [make_camera(width=W, height=H, cam_z=-4.0 - 0.5 * i)
+            for i in range(2)]
+    gt_images = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    gt_features = jnp.asarray(
+        rng.randn(2, H // 2, W // 2, F_DIM).astype(np.float32))
+    bg = jnp.zeros(3)
+    ocfg = OptimizationConfig()
+
+    mesh = make_mesh((2, 4))
+    with jax.set_mesh(mesh):
+        ts_r, m_r = sharded_train_step(
+            jax.tree.map(jnp.copy, ts), stack_cameras(cams), gt_images,
+            gt_features, bg, jnp.int32(1), mesh=mesh, ocfg=ocfg, rcfg=RCFG)
+        ts_s, m_s = sharded_train_step(
+            jax.tree.map(jnp.copy, ts), stack_cameras(cams), gt_images,
+            gt_features, bg, jnp.int32(1), mesh=mesh, ocfg=ocfg, rcfg=RCFG,
+            shard_gaussians=True)
+
+    # memory story: every capacity-leading leaf is row-sharded 8 ways
+    cap = ts_s.params.capacity
+    for name in ("xyz", "scaling", "semantic_feature"):
+        arr = getattr(ts_s.params, name)
+        shards = arr.addressable_shards
+        assert len(shards) == 8
+        assert shards[0].data.shape[0] == cap // 8, (name, shards[0].data.shape)
+    assert ts_s.adam.mu.xyz.addressable_shards[0].data.shape[0] == cap // 8
+    assert (ts_s.gstate.xyz_gradient_accum.addressable_shards[0]
+            .data.shape[0] == cap // 8)
+
+    np.testing.assert_allclose(float(m_s["loss"]), float(m_r["loss"]),
+                               rtol=2e-5)
+    for name in ("xyz", "opacity", "scaling", "rotation", "features_dc",
+                 "features_rest", "semantic_feature"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ts_s.params, name)),
+            np.asarray(getattr(ts_r.params, name)), atol=5e-5,
+            err_msg=f"gaussian-sharded vs replicated param {name}")
+    np.testing.assert_allclose(np.asarray(ts_s.gstate.xyz_gradient_accum),
+                               np.asarray(ts_r.gstate.xyz_gradient_accum),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ts_s.gstate.denom),
+                                  np.asarray(ts_r.gstate.denom))
+
+
+def test_gaussian_sharded_trainer_tracks_replicated():
+    """DistributedTrainer(shard_gaussians=True) through a densify +
+    opacity-reset + capacity-growth span stays within reassociation drift
+    of the replicated mesh trainer, and capacity growth keeps the
+    device-multiple invariant + row sharding."""
+    import __graft_entry__ as ge
+    from feature3dgs_tpu.parallel.trainer import DistributedTrainer
+
+    scene = ge._synthetic_scene(n_cams=4, w=W, h=H, n_pts=96, f_dim=F_DIM)
+    ocfg = OptimizationConfig(
+        iterations=40, densify_from_iter=5, densification_interval=15,
+        densify_until_iter=1000, opacity_reset_interval=30,
+        densify_grad_threshold=1e-4)
+    kw = dict(ocfg=ocfg, rcfg=RCFG, max_sh_degree=2, capacity_headroom=2.0)
+
+    mesh = make_mesh((2, 4))
+    repl = DistributedTrainer(scene, mesh=mesh, **kw)
+    with jax.set_mesh(mesh):
+        repl.train(iterations=40, log_every=10)
+        repl.flush_maintenance(drain=True)
+    shrd = DistributedTrainer(scene, mesh=mesh, shard_gaussians=True, **kw)
+    with jax.set_mesh(mesh):
+        shrd.train(iterations=40, log_every=10)
+        shrd.flush_maintenance(drain=True)
+
+    assert shrd.ts.params.capacity % 8 == 0
+    assert (shrd.ts.params.xyz.addressable_shards[0].data.shape[0]
+            == shrd.ts.params.capacity // 8)
+    np.testing.assert_array_equal(
+        np.asarray(shrd.ts.gstate.alive)[: repl.ts.params.capacity],
+        np.asarray(repl.ts.gstate.alive))
+    n = repl.ts.params.capacity
+    for name in ("xyz", "opacity", "scaling", "semantic_feature"):
+        a = np.asarray(getattr(shrd.ts.params, name))[:n]
+        b = np.asarray(getattr(repl.ts.params, name))
+        err = np.abs(a - b)
+        frac_bad = (err > 6e-4).mean()
+        assert frac_bad < 0.02, (
+            f"sharded vs replicated param {name}: {frac_bad:.1%} exceed "
+            f"6e-4 after 40 iters (max {err.max():.2e})")
+        assert err.max() < 5e-2, (name, err.max())
+
+
 def test_group_lrs_span_matches_reference_schedule():
     """Fused-batch LRs must equal the SUM of the reference's per-iteration
     values over the span (train.py:77-81 steps the xyz scheduler once per
