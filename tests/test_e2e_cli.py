@@ -111,10 +111,13 @@ def test_cli_train_render_metrics(pipeline):
     with open(os.path.join(model, "results.json")) as f:
         res = json.load(f)
     entry = res[f"ours_200"]
-    # train renders must beat a no-model baseline by a wide margin (an
-    # untrained scene scores ~8-10 dB on these synthetic views)
-    assert entry["PSNR"] > 16.0, entry
-    assert entry["SSIM"] > 0.55, entry
+    # golden-number regression: a healthy run of this exact fixture scores
+    # PSNR 22.45 / SSIM 0.761 (captured 2026-08-17 on the CPU suite);
+    # thresholds sit ~5% under golden so quality drift — not just
+    # catastrophic breakage — fails the suite. An untrained scene scores
+    # ~8-10 dB on these views.
+    assert entry["PSNR"] > 21.3, entry
+    assert entry["SSIM"] > 0.72, entry
     # per-view file exists and covers the test split (idx % 8 == 2)
     assert os.path.exists(os.path.join(model, "per_view.json"))
     assert os.path.isdir(os.path.join(model, "test", "ours_200", "renders"))
@@ -143,6 +146,8 @@ def test_cli_rendered_features_match_teacher(pipeline):
         num = (s * t).sum(0)
         den = np.linalg.norm(s, axis=0) * tn + 1e-8
         cosines.append(float((num / den)[mask].mean()))
+    # golden: mean cosine 0.616 on this fixture (2026-08-17); per-view
+    # range 0.57-0.67 — the 0.60 bar is already within 3% of golden
     assert np.mean(cosines) > 0.6, cosines
 
 
