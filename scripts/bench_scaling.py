@@ -78,6 +78,10 @@ def main(argv=None):
     parser.add_argument("--backend", type=str, default="auto")
     parser.add_argument("--small", action="store_true",
                         help="tiny shapes for CPU-mesh validation runs")
+    parser.add_argument("--shard_gaussians", action="store_true",
+                        help="row-shard params/Adam over all mesh devices "
+                             "(gather-in, reduce-scatter-out; the memory-"
+                             "scaling mode) instead of replicating them")
     args = parser.parse_args(argv)
     if args.small:
         args.n_gauss, args.f_dim = 2_000, 16
@@ -117,7 +121,8 @@ def main(argv=None):
         def step_and_block():
             state["ts"], m = sharded_train_step(
                 state["ts"], cam_arrays, gt_i, gt_f, bg, jnp.int32(1),
-                mesh=mesh, ocfg=ocfg, rcfg=cfg)
+                mesh=mesh, ocfg=ocfg, rcfg=cfg,
+                shard_gaussians=args.shard_gaussians and d > 1)
             jax.block_until_ready(m["loss"])
 
         with jax.set_mesh(mesh):
