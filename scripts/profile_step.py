@@ -36,7 +36,18 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--save", type=str, default=None,
                     help="also copy the raw trace.json.gz here")
+    ap.add_argument("--dump_hlo", type=str, default=None, metavar="DIR",
+                    help="dump optimized HLO (--xla_dump_to) so profile "
+                         "span names (fusion.N, copy.N, ...) can be mapped "
+                         "to their producing ops: grep the name in "
+                         "DIR/*after_optimizations*.txt and read its "
+                         "metadata= source lines")
     args = ap.parse_args(argv)
+    if args.dump_hlo:
+        os.makedirs(args.dump_hlo, exist_ok=True)
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + f" --xla_dump_to={args.dump_hlo}"
+                                   " --xla_dump_hlo_as_text")
 
     import functools
     import math
