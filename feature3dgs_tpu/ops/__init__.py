@@ -1,5 +1,6 @@
 from feature3dgs_tpu.ops.rasterize import (  # noqa: F401
     RasterConfig,
     RasterOutput,
+    mark_visible,
     rasterize,
 )

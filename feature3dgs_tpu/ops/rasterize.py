@@ -108,6 +108,17 @@ def tiles_to_image(tiles: jnp.ndarray, grid: TileGrid) -> jnp.ndarray:
     return img[: grid.height, : grid.width]
 
 
+def mark_visible(means3d: jnp.ndarray, cam: proj_lib.CameraView) -> jnp.ndarray:
+    """[N] bool frustum mask — present/visible Gaussians for this view.
+
+    API counterpart of the reference's GaussianRasterizer.markVisible
+    (diff_gaussian_rasterization/__init__.py:193, rasterizer_impl.cu:141):
+    the same near-plane test (view z > 0.2, auxiliary.h:145-170) the
+    preprocess applies."""
+    _, _, in_frustum = proj_lib.project_points(means3d, cam)
+    return in_frustum
+
+
 def rasterize(
     means3d: jnp.ndarray,
     opacities: jnp.ndarray,

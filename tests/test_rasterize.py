@@ -177,3 +177,17 @@ def test_ndc_offset_gradient_hook():
     grad = jax.jit(jax.grad(loss))(jnp.zeros((100, 2), jnp.float32))
     assert grad.shape == (100, 2)
     assert float(jnp.max(jnp.abs(grad))) > 0.0
+
+
+def test_mark_visible_near_plane():
+    """mark_visible reproduces the reference near-plane test: view z > 0.2
+    (markVisible, rasterizer_impl.cu:141; auxiliary.h:145-170)."""
+    from feature3dgs_tpu.ops import mark_visible
+    # CAM looks down +z from z=-4 (tests.utils): world z = -3.9 is just in
+    # front (view z 0.1 -> culled), z = -3.7 gives view z 0.3 -> visible,
+    # z = -5 is behind the camera -> culled
+    pts = jnp.asarray([[0.0, 0.0, -3.9],
+                       [0.0, 0.0, -3.7],
+                       [0.0, 0.0, -5.0]], jnp.float32)
+    vis = np.asarray(mark_visible(pts, CAM))
+    np.testing.assert_array_equal(vis, [False, True, False])
