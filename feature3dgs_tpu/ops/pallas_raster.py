@@ -63,6 +63,11 @@ GEOM_LANES = 8           # x, y, conic_a, conic_b, conic_c, opacity, 0, 0
 CH_OFF = GEOM_LANES      # rgb at CH_OFF..CH_OFF+2, depth at CH_OFF+3
 MISC_LANES = 12          # geom + rgb + depth
 
+# Tests set this True (monkeypatch) to alias a NaN-filled init into the
+# backward's d_slab: any unwritten row the segment-sum fails to mask then
+# poisons the gradients instead of silently reading lucky zeros.
+_POISON_UNWRITTEN_ROWS = False
+
 
 def feat_offset(f_dim: int) -> int:
     """Feature lane offset: keep everything in one 128-lane tile when it
@@ -419,7 +424,10 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
                 c_pad: int, l_cap: int, split: bool, fag: bool,
-                tiles_per_program: int):
+                tiles_per_program: int, poison: bool = False):
+    # poison (tests only): a NaN-filled init is aliased into dslab_hbm as
+    # one extra trailing input ref; only its buffer is used.
+    n_init = 1 if poison else 0
     if split:
         # split layout: gmisc is CHANNEL-MAJOR [tpp, 8, P] (rows 0:3 rgb
         # cotangent, 3 depth) and the misc-side matmuls collapse into 4
@@ -429,20 +437,24 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         # half is only consumed under feature_alpha_grad).
         if fag:
             (gmisc_ref, gfeat_ref, gft_ref, finalt_ref, ncontrib_ref,
-             amask_ref, dinit_hbm, dslab_hbm,
-             buf, dbuf, suffix, suffix_f, tend, sems, osems, tailsem) = refs
+             amask_ref) = refs[:6]
+            (dslab_hbm,
+             buf, dbuf, suffix, suffix_f, tend, sems, osems, tailsem) = \
+                refs[6 + n_init:]
         else:
             (gmisc_ref, gfeat_ref, gft_ref, finalt_ref, ncontrib_ref,
-             amask_ref, dinit_hbm, dslab_hbm,
-             buf, dbuf, suffix, tend, sems, osems, tailsem) = refs
+             amask_ref) = refs[:6]
+            (dslab_hbm,
+             buf, dbuf, suffix, tend, sems, osems, tailsem) = \
+                refs[6 + n_init:]
             suffix_f = None
     else:
         (gmisc_ref, gft_ref, finalt_ref, ncontrib_ref,
-         amask_ref, dinit_hbm, dslab_hbm,
-         buf, dbuf, suffix, tend, sems, osems, tailsem) = refs
+         amask_ref) = refs[:5]
+        (dslab_hbm,
+         buf, dbuf, suffix, tend, sems, osems, tailsem) = refs[5 + n_init:]
         gfeat_ref = None
         suffix_f = None
-    del dinit_hbm  # aliased zero-init of dslab_hbm; only its buffer is used
     prog = pl.program_id(0)
     p = tile_w * tile_h
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
@@ -508,8 +520,9 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         ncontrib = ncontrib_ref[g]  # [1, P]
 
         # Chunks past the deepest contributor carry zero gradient — skip
-        # them entirely (dslab is zero-initialized via the aliased input, so
-        # skipped rows stay zero for the segment-sum).
+        # them entirely (their dslab rows stay UNWRITTEN; the segment-sum
+        # masks rows beyond each tile's written extent, see
+        # live_row_threshold).
         max_nc = jnp.max(ncontrib)
         n_chunks = jnp.minimum(pl.cdiv(count, k_chunk),
                                pl.cdiv(max_nc, k_chunk))
@@ -734,7 +747,8 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
 def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
              ncontrib, alpha_mask, grid: TileGrid, *, k_chunk: int = 64,
              feature_alpha_grad: bool = False, interpret: bool = False,
-             tiles_per_program: int = 8, tile_base=None):
+             tiles_per_program: int = 8, tile_base=None,
+             poison_init: bool = False):
     """Backward kernel: per-instance gradients in slab layout.
 
     gpix_misc: non-split layout [T,P,128] misc-lane cotangents (geom lanes
@@ -748,6 +762,16 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
     remaining lanes = channel grads in slab layout (split-layout lanes
     16:128 are unspecified — consumers read lanes 0:12 + the feature
     block only).
+
+    Rows the kernel never writes — beyond each tile's written extent
+    ``min(n_chunks*k_chunk, seg_len)`` (chunks past every pixel's
+    n_contrib are skipped) and outside this slice's segments — are
+    UNSPECIFIED memory: consumers must mask them out (see
+    ``live_row_threshold`` / the segment-sum in ``_cp_bwd``). This
+    replaces the round-2 aliased [L,C_pad] zeros init, whose
+    materialization (+aliasing copy) cost ~2.5 ms/step at the bench
+    config. ``poison_init=True`` (tests only) aliases a NaN-filled init
+    instead so any consumer reading an unwritten row fails loudly.
     """
     t_tiles = starts.shape[0]
     p = grid.pixels_per_tile
@@ -780,7 +804,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
     kernel = functools.partial(
         _bwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
         tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, split=split,
-        fag=feature_alpha_grad, tiles_per_program=tpp)
+        fag=feature_alpha_grad, tiles_per_program=tpp, poison=poison_init)
 
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
@@ -806,13 +830,15 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
         pl.BlockSpec((tpp, 1, p), lambda t, s, c, b: (t, 0, 0),
                      memory_space=pltpu.VMEM),  # ncontrib
         pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha_mask [1,128]
-        pl.BlockSpec(memory_space=pl.ANY),      # dinit (aliased out)
     ]
-    # d_slab rows in chunks skipped by the ncontrib bound must read as zero
-    # downstream; alias a zero-filled input as the output's initial contents.
-    dinit = jnp.zeros((l_cap, c_pad), jnp.float32)
     args += [g_finalt.reshape(t_pad, 1, p), finalt.reshape(t_pad, 1, p),
-             ncontrib.reshape(t_pad, 1, p), alpha_mask, dinit]
+             ncontrib.reshape(t_pad, 1, p), alpha_mask]
+    aliases = {}
+    if poison_init:
+        # tests only: prove downstream masking covers every unwritten row
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        args.append(jnp.full((l_cap, c_pad), jnp.nan, jnp.float32))
+        aliases = {len(args) - 1: 0}
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -841,7 +867,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
             jax.ShapeDtypeStruct((l_cap, c_pad), jnp.float32),
         ],
         interpret=interpret,
-        input_output_aliases={len(args) - 1: 0},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(*args)
     return d_slab
@@ -850,6 +876,31 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
 # ---------------------------------------------------------------------------
 # differentiable wrapper: pre-gather -> kernels -> segment-sum
 # ---------------------------------------------------------------------------
+
+def live_row_threshold(tile_starts, tile_counts, ncontrib, l_cap: int,
+                       k_chunk: int) -> jnp.ndarray:
+    """Per-slab-row write threshold for the backward kernel's output.
+
+    The kernel writes exactly rows [start_t, start_t + extent_t) per tile,
+    extent_t = min(n_chunks_t * k_chunk, seg_len_t) with
+    n_chunks_t = min(ceil(count/K), ceil(max_ncontrib/K)) (the early-exit
+    chunk bound) and seg_len_t = count rounded up to 8 (the tail write's
+    owned rows). Returns thresh [L] int32 with row j live iff j < thresh[j]:
+    segment ends scattered at segment starts, forward-filled by a running
+    max (starts are sorted and ends are monotone, so cummax is exact).
+    Cost is one tiny scatter + a 1-D cummax — it replaces materializing a
+    [L, C_pad] zeros slab for the aliased init (~2.5 ms/step, bench cfg).
+    """
+    starts_c, counts_c = _clamp_segments(tile_starts, tile_counts,
+                                         l_cap, k_chunk)
+    max_nc = jnp.max(ncontrib.reshape(starts_c.shape[0], -1), axis=1)
+    n_chunks = jnp.minimum(-(-counts_c // k_chunk), -(-max_nc // k_chunk))
+    seg_len = ((counts_c + 7) // 8) * 8
+    extent = jnp.minimum(n_chunks * k_chunk, seg_len)
+    thresh0 = jnp.zeros((l_cap,), jnp.int32).at[starts_c].max(
+        (starts_c + extent).astype(jnp.int32), mode="drop")
+    return jax.lax.cummax(thresh0)
+
 
 class PallasCompositeOutput(NamedTuple):
     color: jnp.ndarray      # [T, P, 3]
@@ -982,10 +1033,19 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, tiles_per_program,
         tile_starts, tile_counts, slab, gpix_misc, gpix_feat, d_finalt,
         finalt, ncontrib, jnp.asarray(amask), grid, k_chunk=k_chunk,
         feature_alpha_grad=feature_alpha_grad, interpret=interpret,
-        tile_base=tile_base, tiles_per_program=tiles_per_program)
+        tile_base=tile_base, tiles_per_program=tiles_per_program,
+        poison_init=_POISON_UNWRITTEN_ROWS)
 
-    # per-instance -> per-Gaussian (the atomicAdd/all-reduce analog)
-    dg = jax.ops.segment_sum(d_slab, seg_ids, num_segments=n + 1)[:n]
+    # per-instance -> per-Gaussian (the atomicAdd/all-reduce analog).
+    # Rows the kernel never wrote (beyond each tile's early-exit extent, or
+    # outside this shard's tile slice) hold unspecified memory: route them
+    # to the dropped segment n instead of zero-initializing the whole
+    # [L, C_pad] d_slab (exact — those rows contributed exactly 0 before).
+    thresh = live_row_threshold(tile_starts, tile_counts, ncontrib,
+                                d_slab.shape[0], k_chunk)
+    live = jnp.arange(d_slab.shape[0], dtype=jnp.int32) < thresh
+    dg = jax.ops.segment_sum(
+        d_slab, jnp.where(live, seg_ids, n), num_segments=n + 1)[:n]
     d_xy = dg[:, 0:2]
     d_conic = dg[:, 2:5]
     d_op = dg[:, 5]

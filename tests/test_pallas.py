@@ -314,3 +314,69 @@ def test_pallas_wide_feature_dims(f_dim):
     np.testing.assert_allclose(pal.color, ref.color, atol=1e-5)
     np.testing.assert_allclose(pal.feature, ref.feature, atol=1e-5)
     np.testing.assert_allclose(pal.final_T, ref.final_T, atol=1e-5)
+
+
+def test_backward_unwritten_rows_masked(monkeypatch):
+    """The backward no longer zero-initializes d_slab: rows beyond each
+    tile's written extent (early-exit chunk bound) are unspecified memory
+    and the segment-sum must mask them. Poison the init with NaN and prove
+    (a) every live row (< live_row_threshold) is finite, (b) poison
+    actually landed on some unwritten row (non-vacuous), and (c) the
+    end-to-end gradients still match the XLA oracle exactly."""
+    from feature3dgs_tpu.ops import pallas_raster as PR
+
+    # boosted opacity forces T<1e-4 early exit -> skipped (unwritten) chunks
+    g, pre, bins = _setup(n=300, seed=1, boost=3.0)
+
+    # (a)+(b): direct backward call with the NaN-poisoned init
+    slab, seg_ids = PR.pack_instances(
+        bins.gid_sorted, pre.xy, pre.conic, pre.opacity, pre.rgb, g["feat"],
+        pre.depth)
+    out_misc, out_feat, finalt, ncontrib = PR.forward(
+        bins.tile_starts, bins.tile_counts, slab, GRID, k_chunk=64,
+        interpret=True)
+    t_tiles, p = finalt.shape
+    rng = np.random.RandomState(0)
+    gpix_misc = jnp.asarray(
+        rng.rand(t_tiles, p, 128).astype(np.float32))
+    amask = np.zeros((1, 128), np.float32)
+    amask[0, PR.CH_OFF:PR.CH_OFF + 4] = 1.0
+    d_slab = PR.backward(
+        bins.tile_starts, bins.tile_counts, slab, gpix_misc, None,
+        jnp.asarray(rng.rand(t_tiles, p).astype(np.float32)), finalt,
+        ncontrib, jnp.asarray(amask), GRID, k_chunk=64, interpret=True,
+        poison_init=True)
+    thresh = PR.live_row_threshold(bins.tile_starts, bins.tile_counts,
+                                   ncontrib, d_slab.shape[0], 64)
+    live = np.arange(d_slab.shape[0]) < np.asarray(thresh)
+    nan_rows = np.isnan(np.asarray(d_slab)).any(axis=1)
+    assert not (live & nan_rows).any(), "kernel skipped a live row"
+    assert nan_rows[~live].any(), \
+        "no poison survived - test is vacuous (aliasing not honored?)"
+
+    # (c): full gradient parity with the poison active end-to-end
+    monkeypatch.setattr(PR, "_POISON_UNWRITTEN_ROWS", True)
+    tc = jnp.asarray(rng.rand(GRID.num_tiles, 256, 3).astype(np.float32))
+
+    def loss_with(fn):
+        def loss(xy, conic, op, rgb, feat, depth):
+            o = fn(xy, conic, op, rgb, feat, depth)
+            return (jnp.mean(jnp.abs(o.color - tc))
+                    + jnp.mean(o.feature ** 2) + jnp.mean(jnp.abs(o.depth)))
+        return loss
+
+    ref_fn = lambda xy, conic, op, rgb, feat, depth: composite(
+        bins.tile_lists, tile_pixel_coords(GRID), xy, conic, op, rgb, feat,
+        depth, CFG.chunk, "highest", False)
+    pal_fn = lambda xy, conic, op, rgb, feat, depth: composite_pallas(
+        bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
+        xy, conic, op, (rgb, feat), depth, None, GRID, 64, False, True)
+    args = (pre.xy, pre.conic, pre.opacity, pre.rgb, g["feat"], pre.depth)
+    gr = jax.grad(loss_with(ref_fn), argnums=tuple(range(6)))(*args)
+    gp = jax.grad(loss_with(pal_fn), argnums=tuple(range(6)))(*args)
+    for name, a, b in zip(["xy", "conic", "op", "rgb", "feat", "depth"],
+                          gp, gr):
+        assert np.isfinite(np.asarray(a)).all(), f"NaN leak in grad {name}"
+        s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=5e-6, err_msg=f"grad {name}")
