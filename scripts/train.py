@@ -201,6 +201,31 @@ def main(argv=None):
         except Exception as e:
             print(f"tensorboard logging disabled ({e})")
 
+    # Preemption handling — the reference has none (SURVEY.md section 5:
+    # "no preemption handling"); on preemptible TPU pools the resource
+    # manager sends SIGTERM. First signal: finish the in-flight step, save
+    # a FULL training checkpoint (chkpnt{it}, resumable via
+    # --start_checkpoint) and exit cleanly. Second signal: die immediately.
+    import signal
+    _stop = {"sig": None}
+
+    def _request_stop(signum, frame):
+        if _stop["sig"] is not None:
+            raise KeyboardInterrupt(f"second signal {signum}")
+        _stop["sig"] = signum
+        print(f"\n[preempt] signal {signum}: will checkpoint and exit "
+              "after the current step", flush=True)
+
+    @contextlib.contextmanager
+    def _graceful_preemption():
+        prev = {s: signal.signal(s, _request_stop)
+                for s in (signal.SIGTERM, signal.SIGINT)}
+        try:
+            yield
+        finally:
+            for s, h in prev.items():
+                signal.signal(s, h)
+
     ema_loss = 0.0
     t_start = time.time()
     t_sync = time.time()
@@ -208,7 +233,7 @@ def main(argv=None):
     bsz = getattr(trainer, "batch", 1)
     log_path = (os.path.join(mcfg.model_path, "train_log.jsonl")
                 if is_main else os.devnull)
-    with mesh_ctx, open(log_path, "a") as logf:
+    with _graceful_preemption(), mesh_ctx, open(log_path, "a") as logf:
         prof_on = False
         while trainer.iteration < ocfg.iterations:
             if args.profile and not prof_on and trainer.iteration >= 20:
@@ -233,6 +258,18 @@ def main(argv=None):
                            or i in args.checkpoint_iterations for i in span)
                     or bool(args.profile and it >= 20))
             metrics = trainer.step(sync=sync)
+            if _stop["sig"] is not None:
+                # post-densification ordering like scheduled checkpoints
+                # (flush enters jitted SPMD programs -> every process runs
+                # it; only main writes)
+                trainer.flush_maintenance()
+                if is_main:
+                    ckpt.save_checkpoint(mcfg.model_path, trainer.iteration,
+                                         trainer.ts)
+                    print(f"[preempt] checkpoint saved at iteration "
+                          f"{trainer.iteration}; resume with "
+                          f"--start_checkpoint", flush=True)
+                break
             if args.profile and prof_on and it >= 30:
                 import jax
                 jax.block_until_ready(metrics["loss"])
@@ -292,6 +329,8 @@ def main(argv=None):
             if gui is not None:
                 _serve_gui(gui, trainer, scene, ema_loss)
 
+    if _stop["sig"] is not None:
+        return
     print("\nTraining complete.")
 
 

@@ -188,3 +188,70 @@ def test_cli_mesh_batched_training(tmp_path_factory):
         os.path.join(model, "point_cloud", "iteration_48", "point_cloud.ply"),
         max_sh_degree=3)
     assert int(state.num_active) > 150  # initial points + densification
+
+
+def test_cli_preemption_checkpoint_and_resume(tmp_path_factory):
+    """SIGTERM mid-training saves a full checkpoint and exits cleanly
+    (graceful preemption — the reference has none, SURVEY.md section 5);
+    --start_checkpoint resumes from it."""
+    import glob
+    import signal
+    import subprocess
+    import time as time_mod
+
+    root = str(tmp_path_factory.mktemp("preempt_scene"))
+    model = str(tmp_path_factory.mktemp("preempt_model"))
+    _build_dataset(root)
+
+    argv = ["-s", root, "-m", model, "-f", "lseg",
+            "--iterations", "100000", "--sync_every", "5",
+            "--instance_capacity", str(1 << 13),
+            "--tile_capacity", str(1 << 9),
+            "--densify_from_iter", "20", "--densification_interval", "60",
+            "--opacity_reset_interval", "10000",
+            "--disable_viewer", "--quiet"]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # scrubbed CPU env: the axon sitecustomize force-registers the TPU
+    # tunnel in plain children regardless of JAX_PLATFORMS (see
+    # __graft_entry__._cpu_mesh_env)
+    import __graft_entry__ as ge
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(repo, "scripts", "train.py"), *argv],
+        cwd=repo, env=ge._cpu_mesh_env(1),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    try:
+        # wait until training has visibly progressed (train_log entry at
+        # iteration 50), then preempt
+        log = os.path.join(model, "train_log.jsonl")
+        deadline = time_mod.time() + 600
+        while time_mod.time() < deadline:
+            if os.path.exists(log) and os.path.getsize(log) > 0:
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    proc.communicate()[0].decode()[-2000:])
+            time_mod.sleep(1)
+        else:
+            raise AssertionError("training never reached a logged iteration")
+        proc.send_signal(signal.SIGTERM)
+        out = proc.communicate(timeout=300)[0].decode()
+        assert proc.returncode == 0, out[-2000:]
+        assert "[preempt] checkpoint saved at iteration" in out, out[-2000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    ckpts = glob.glob(os.path.join(model, "chkpnt*.ckpt"))
+    assert len(ckpts) == 1, ckpts
+    it0 = int(os.path.basename(ckpts[0])[len("chkpnt"):-len(".ckpt")])
+    assert it0 >= 50
+
+    # resume in-process for a short tail and verify the counter continued
+    import scripts.train as train_cli
+    train_cli.main([*argv[:-4], "--disable_viewer", "--quiet",
+                    "--start_checkpoint", ckpts[0],
+                    "--iterations", str(it0 + 10),
+                    "--save_iterations", str(it0 + 10)])
+    ply = os.path.join(model, "point_cloud", f"iteration_{it0 + 10}",
+                       "point_cloud.ply")
+    assert os.path.exists(ply)
