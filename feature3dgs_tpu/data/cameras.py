@@ -36,6 +36,9 @@ class Camera:
     trans: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3, np.float32))
     scale: float = 1.0
+    # False = pixel/feature loads deliberately skipped (host-local loading:
+    # this camera belongs to another process's stripe)
+    pixels_loaded: bool = True
 
     @property
     def view(self) -> np.ndarray:

@@ -84,12 +84,21 @@ def _split_eval(cams: list[Camera], eval_split: bool, llffhold: int = 8):
 def load_colmap_scene(path: str, *, foundation_model: str | None = None,
                       images_dir: str = "images", resolution: int = -1,
                       resolution_scale: float = 1.0, eval_split: bool = False,
-                      load_images: bool = True) -> SceneData:
+                      load_images: bool = True,
+                      pixel_filter=None) -> SceneData:
+    """``pixel_filter(split, index_within_split, n_split) -> bool`` gates
+    the EXPENSIVE per-camera loads (image pixels + teacher feature map,
+    100-200 MB/view at LSeg scale) while geometry/metadata always loads for
+    every camera. Multi-host training passes a stripe filter so each
+    process only reads its own cameras' files from disk
+    (parallel/distributed.local_camera_indices). Skipped cameras have
+    ``pixels_loaded=False`` and image/semantic_feature None."""
     cams_intr, imgs, pts = colmap_lib.read_model(os.path.join(path, "sparse/0"))
     feat_dir = (os.path.join(path, FEATURE_DIRS[foundation_model])
                 if foundation_model else None)
 
     cam_list: list[Camera] = []
+    srcs = {}
     for img in imgs.values():
         intr = cams_intr[img.camera_id]
         if intr.model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
@@ -103,30 +112,49 @@ def load_colmap_scene(path: str, *, foundation_model: str | None = None,
         fovy = transforms.focal_to_fov(fy, intr.height)
         fovx = transforms.focal_to_fov(fx, intr.width)
         name = os.path.splitext(os.path.basename(img.name))[0]
-
-        feature = None
-        if feat_dir is not None:
-            feature = load_feature_map(os.path.join(feat_dir, name))
-
-        rgb, alpha, w, h = None, None, intr.width, intr.height
-        if load_images:
-            img_path = os.path.join(path, images_dir, os.path.basename(img.name))
-            feature_hw = feature.shape[:2] if feature is not None else None
-            w, h = choose_resolution(intr.width, intr.height, resolution,
-                                     resolution_scale, feature_hw)
-            rgb, alpha = load_image(img_path, (w, h))
-            if alpha is not None:
-                rgb = rgb * alpha
-        cam_list.append(Camera(
+        cam = Camera(
             uid=len(cam_list), colmap_id=img.id,
             R=colmap_lib.qvec_to_rotmat(img.qvec).T, T=np.array(img.tvec),
-            fovx=fovx, fovy=fovy, image=rgb, image_name=name,
-            semantic_feature=feature, width=w, height=h))
+            fovx=fovx, fovy=fovy, image=None, image_name=name,
+            semantic_feature=None, width=intr.width,
+            height=intr.height)
+        srcs[name] = (os.path.basename(img.name), intr.width, intr.height)
+        cam_list.append(cam)
 
     cam_list.sort(key=lambda c: c.image_name)
     for i, c in enumerate(cam_list):
         c.uid = i
     train, test = _split_eval(cam_list, eval_split)
+
+    # Pixel/feature loads AFTER the name-sort + eval split so pixel_filter
+    # addresses cameras by their final (split, index) identity.
+    for split, cams in (("train", train), ("test", test)):
+        for i, cam in enumerate(cams):
+            fname, ow, oh = srcs[cam.image_name]
+            wanted = (load_images if pixel_filter is None
+                      else load_images and pixel_filter(split, i, len(cams)))
+            feature = None
+            if feat_dir is not None and wanted:
+                feature = load_feature_map(
+                    os.path.join(feat_dir, cam.image_name))
+            if resolution == 0 and not wanted:
+                raise ValueError(
+                    "-r 0 (feature-map resolution) needs every camera's "
+                    "feature map on every process; it cannot be combined "
+                    "with host-local pixel loading")
+            feature_hw = feature.shape[:2] if feature is not None else None
+            w, h = (choose_resolution(ow, oh, resolution, resolution_scale,
+                                      feature_hw)
+                    if load_images else (ow, oh))
+            cam.width, cam.height = w, h
+            cam.semantic_feature = feature
+            cam.pixels_loaded = bool(wanted)
+            if wanted:
+                rgb, alpha = load_image(
+                    os.path.join(path, images_dir, fname), (w, h))
+                if alpha is not None:
+                    rgb = rgb * alpha
+                cam.image = rgb
 
     if pts is not None:
         xyz, rgb_u8 = pts[0].astype(np.float32), pts[1]
@@ -138,8 +166,8 @@ def load_colmap_scene(path: str, *, foundation_model: str | None = None,
         colors = np.stack([cols["red"], cols["green"], cols["blue"]], 1
                           ).astype(np.float32) / 255.0
 
-    feat_dim = (train[0].semantic_feature.shape[-1]
-                if train and train[0].semantic_feature is not None else 0)
+    feat_dim = next((c.semantic_feature.shape[-1] for c in train
+                     if c.semantic_feature is not None), 0)
     return SceneData(train_cameras=train, test_cameras=test, points=xyz,
                      colors=colors, nerf_norm=nerfpp_norm(train or cam_list),
                      feature_dim=feat_dim, source_path=path)
@@ -229,12 +257,16 @@ def load_scene(path: str, allow_missing_features: bool = False,
         scene = load_colmap_scene(path, **kw)
     elif os.path.exists(os.path.join(path, "transforms_train.json")):
         kw.pop("images_dir", None)
+        if kw.pop("pixel_filter", None) is not None:
+            raise NotImplementedError(
+                "host-local pixel loading (pixel_filter) is COLMAP-only; "
+                "Blender scenes are small synthetic sets")
         scene = load_blender_scene(path, **kw)
     else:
         raise ValueError(f"Could not recognize scene type for {path}")
     if kw.get("foundation_model") and not allow_missing_features:
         missing = [c.image_name for c in scene.train_cameras
-                   if c.semantic_feature is None]
+                   if c.semantic_feature is None and c.pixels_loaded]
         if missing:
             raise FileNotFoundError(
                 f"{len(missing)} train cameras have no "

@@ -195,24 +195,31 @@ def box_nms(boxes: np.ndarray, scores: np.ndarray,
 def _decode_point_batch(emb_chw: np.ndarray, image_hw: tuple[int, int],
                         points: np.ndarray):
     """Decode a batch of SINGLE-point prompts in one model call.
-    Returns (logits [P,3,H,W], iou_preds [P,3]) at ``image_hw``."""
+    Returns (logits [P,3,H,W], iou_preds [P,3]) at ``image_hw``.
+
+    Point scaling and frame sizes use the processor's own closed-form
+    rules (SamProcessor._normalize_coordinates /
+    SamImageProcessor._get_preprocess_shape) directly — running the full
+    image processor on a dummy [H,W,3] zeros frame per batch resizes +
+    normalizes 1024x1024 pixels that are then discarded (the precomputed
+    embedding replaces pixel_values entirely)."""
     import torch
     model, proc = load_sam()
     emb = torch.from_numpy(pad_embedding(emb_chw)[None]).float()
     h, w = image_hw
-    dummy = np.zeros((h, w, 3), np.uint8)
-    inputs = proc(
-        images=dummy, return_tensors="pt",
-        input_points=[[[list(map(float, p))] for p in points]],
-        input_labels=[[[1] for _ in points]])
+    target = proc.image_processor.size["longest_edge"]
+    scale = target * 1.0 / max(h, w)
+    rh, rw = int(h * scale + 0.5), int(w * scale + 0.5)
+    pts = np.asarray(points, np.float64) * np.array([rw / w, rh / h])
+    input_points = torch.from_numpy(pts[None, :, None, :]).float()
+    input_labels = torch.ones(input_points.shape[:-1], dtype=torch.int64)
     with torch.no_grad():
         out = model(image_embeddings=emb,
-                    input_points=inputs.get("input_points"),
-                    input_labels=inputs.get("input_labels"),
+                    input_points=input_points,
+                    input_labels=input_labels,
                     multimask_output=True)
     logits = proc.image_processor.post_process_masks(
-        out.pred_masks.cpu(), inputs["original_sizes"],
-        inputs["reshaped_input_sizes"], binarize=False)[0]
+        out.pred_masks.cpu(), [(h, w)], [(rh, rw)], binarize=False)[0]
     return logits.numpy(), out.iou_scores[0].cpu().numpy()
 
 

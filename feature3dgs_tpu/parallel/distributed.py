@@ -87,9 +87,22 @@ def make_host_chip_mesh(axis_names=("data", "tile")) -> jax.sharding.Mesh:
     return jax.sharding.Mesh(arr, tuple(axis_names))
 
 
+def stripe_indices(num_items: int, row: int, n_rows: int) -> list[int]:
+    """Balanced contiguous partition: the first ``num_items % n_rows``
+    stripes get one extra item, so every stripe is non-empty whenever
+    ``num_items >= n_rows``. (Ceil division can leave TRAILING rows empty —
+    6 items over 4 rows gives [2,2,2,0] — which crashes epoch sampling on
+    the empty stripe instead of the intended init-time error.)
+
+    The single stripe convention for both host-local data loading and the
+    per-data-row camera schedule (multihost.MultiHostTrainer)."""
+    q, r = divmod(num_items, n_rows)
+    start = row * q + min(row, r)
+    return list(range(start, start + q + (1 if row < r else 0)))
+
+
 def local_camera_indices(num_cameras: int) -> list[int]:
     """The camera subset this host loads (and whose feature maps it reads
     from local disk): a contiguous stripe by process index."""
-    p, n = jax.process_index(), jax.process_count()
-    per = -(-num_cameras // n)
-    return list(range(p * per, min((p + 1) * per, num_cameras)))
+    return stripe_indices(num_cameras, jax.process_index(),
+                          jax.process_count())

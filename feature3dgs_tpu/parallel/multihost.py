@@ -47,8 +47,18 @@ class MultiHostTrainer(DistributedTrainer):
     test relies on that equivalence.
     """
 
+    _sync_tag = "multihost-trainer"
+
     def __init__(self, scene: SceneData, *, mesh: jax.sharding.Mesh,
                  cameras_per_step: int | None = None, **kwargs):
+        if kwargs.get("shard_gaussians"):
+            raise NotImplementedError(
+                "Gaussian-axis sharding is not supported with the "
+                "multi-host trainer yet: its host-side state surgery "
+                "(capacity growth, checkpoint restore) round-trips through "
+                "fully-addressable host arrays, which a cross-process "
+                "row-sharded TrainState is not. Use --shard_gaussians with "
+                "the single-controller --mesh path.")
         super().__init__(scene, mesh=mesh,
                          cameras_per_step=cameras_per_step, **kwargs)
         self._replicated = NamedSharding(mesh, P())
@@ -75,15 +85,24 @@ class MultiHostTrainer(DistributedTrainer):
         self._row_rngs = []
         self._row_stacks: list[list] = []
         for d in range(self.n_data):
-            idx = _row_camera_indices(n_cams, d, self.n_data)
+            idx = distributed.stripe_indices(n_cams, d, self.n_data)
             self._stripes.append(idx)
             self._row_rngs.append(random.Random(seed * 7919 + d))
             self._row_stacks.append([])
         # rows this PROCESS owns (whose images/fmaps it must have on disk)
         self._local_rows = sorted({
             _row_of_device(mesh, dev) for dev in mesh.local_devices})
-        self._host_gt_cache: dict = {}
-        self._global_gt_cache: dict = {}
+        # Byte-budgeted LRU caches (reuse the Trainer's gt_cache_bytes
+        # knob, --gt_cache_mb): epoch reshuffling makes batch keys
+        # essentially unique, so unbounded caches OOM device HBM within a
+        # few epochs at reference-scale LSeg maps (100-200 MB/view).
+        import collections
+        self._host_gt_cache: "collections.OrderedDict" = \
+            collections.OrderedDict()
+        self._host_gt_bytes = 0
+        self._global_gt_cache: "collections.OrderedDict" = \
+            collections.OrderedDict()
+        self._global_gt_bytes = 0
 
     def replicate_state(self, ts):
         """Re-materialize a (restored) TrainState as replicated global
@@ -112,25 +131,45 @@ class MultiHostTrainer(DistributedTrainer):
     # -- sharded GT assembly ----------------------------------------------
 
     def _host_gt(self, uid: int):
-        """(image, feature) numpy pair for a LOCAL camera, cached on host."""
-        if uid not in self._host_gt_cache:
-            cam = self.scene.train_cameras[uid]
-            img = np.asarray(cam.image, np.float32)
-            if cam.semantic_feature is not None:
-                feat = np.asarray(cam.semantic_feature, np.float32)
-            else:
-                feat = np.zeros((*img.shape[:2], self.feature_out_dim),
-                                np.float32)
-            self._host_gt_cache[uid] = (img, feat)
-        return self._host_gt_cache[uid]
+        """(image, feature) numpy pair for a LOCAL camera, cached on host
+        under the byte budget."""
+        entry = self._host_gt_cache.get(uid)
+        if entry is not None:
+            self._host_gt_cache.move_to_end(uid)
+            return entry
+        cam = self.scene.train_cameras[uid]
+        if cam.image is None:
+            raise RuntimeError(
+                f"camera uid {uid} ({cam.image_name}) has no pixel data on "
+                "this process — it belongs to another host's stripe "
+                "(host-local loading, distributed.local_camera_indices); "
+                "a multi-host batch must only route stripe-local cameras "
+                "here")
+        img = np.asarray(cam.image, np.float32)
+        if cam.semantic_feature is not None:
+            feat = np.asarray(cam.semantic_feature, np.float32)
+        else:
+            feat = np.zeros((*img.shape[:2], self.feature_out_dim),
+                            np.float32)
+        self._host_gt_cache[uid] = (img, feat)
+        self._host_gt_bytes += img.nbytes + feat.nbytes
+        if self.gt_cache_bytes is not None:
+            while (self._host_gt_bytes > self.gt_cache_bytes
+                   and len(self._host_gt_cache) > 2):
+                _, (i, f) = self._host_gt_cache.popitem(last=False)
+                self._host_gt_bytes -= i.nbytes + f.nbytes
+        return img, feat
 
     def _global_batch(self, uids: list[int]):
         """Build the [B,...] global arrays for a batch, uploading only the
-        data rows this process owns. Cached per uid-tuple (cameras repeat
-        every epoch; steady-state steps re-use device buffers)."""
+        data rows this process owns. Batches are LRU-cached under the byte
+        budget (epoch reshuffling makes exact repeats rare — the cache
+        mainly serves fixed-order parity tests and tiny scenes)."""
         key = tuple(uids)
-        if key in self._global_gt_cache:
-            return self._global_gt_cache[key]
+        entry = self._global_gt_cache.get(key)
+        if entry is not None:
+            self._global_gt_cache.move_to_end(key)
+            return entry
         views = [self.scene.train_cameras[uid].to_view() for uid in uids]
         # Batch position k belongs to data row k % n_data, but P('data')
         # shards axis 0 in contiguous blocks — permute the batch to
@@ -158,39 +197,28 @@ class MultiHostTrainer(DistributedTrainer):
             for k, f in (("view", "view"), ("proj", "proj"),
                          ("campos", "campos"), ("tan_fovx", "tan_fovx"),
                          ("tan_fovy", "tan_fovy"))}
+        # local-shard bytes actually held on this process's devices
+        nbytes = sum(s.data.nbytes for s in gt_images.addressable_shards)
+        nbytes += sum(s.data.nbytes for s in gt_features.addressable_shards)
         out = (cam_arrays, gt_images, gt_features)
         self._global_gt_cache[key] = out
+        self._global_gt_bytes += nbytes
+        if self.gt_cache_bytes is not None:
+            while (self._global_gt_bytes > self.gt_cache_bytes
+                   and len(self._global_gt_cache) > 2):
+                _, (_, gi, gf) = self._global_gt_cache.popitem(last=False)
+                self._global_gt_bytes -= (
+                    sum(s.data.nbytes for s in gi.addressable_shards)
+                    + sum(s.data.nbytes for s in gf.addressable_shards))
         return out
 
-    # -- step --------------------------------------------------------------
+    # -- step: DistributedTrainer.step with multi-host batch assembly ------
 
-    def step(self, cameras=None, sync: bool = True) -> dict:
-        from feature3dgs_tpu.parallel.sharded import sharded_train_step
-        from feature3dgs_tpu.model import gaussians as G
-        self.flush_maintenance()
-        it0 = self.iteration + 1
-        self.iteration += self.batch
-        for it in range(it0, self.iteration + 1):
-            if it % 1000 == 0:
-                self.ts = self.ts.replace(gstate=G.one_up_sh_degree(
-                    self.ts.gstate, self.max_sh_degree))
+    def _assemble_batch(self, cameras):
+        """``cameras`` here is a list of camera UIDs (stripe-sampled when
+        None); GT pixels upload process-locally (_global_batch)."""
         uids = list(cameras) if cameras is not None else self.pick_batch()
-        cam_arrays, gt_images, gt_features = self._global_batch(uids)
-
-        its = np.arange(it0, it0 + self.batch, dtype=np.int32)
-        self.ts, metrics = sharded_train_step(
-            self.ts, cam_arrays, gt_images, gt_features, self.bg,
-            its, mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
-            speedup=self.speedup, max_sh_degree=self.max_sh_degree)
-
-        if sync:
-            host_metrics, ok = self._sync_metrics(metrics, self.iteration,
-                                                  "multihost-trainer")
-            if ok:
-                self._pending_maintenance = (self.iteration, host_metrics)
-            return host_metrics
-        self._pending_maintenance = (self.iteration, metrics)
-        return metrics
+        return self._global_batch(uids)
 
     # -- maintenance overrides for multi-process safety --------------------
     # The schedule itself is DistributedTrainer._dispatch_maintenance;
@@ -282,13 +310,6 @@ def worker_main(argv=None):
           f"{jax.process_count()} mesh=({args.data}x{args.tile}) "
           f"iters={trainer.iteration} active={n_active} "
           f"loss={final['loss']:.5f}")
-
-
-def _row_camera_indices(num_cameras: int, row: int, n_rows: int) -> list[int]:
-    """Contiguous camera stripe for data row `row` (ceil division, same
-    convention as distributed.local_camera_indices)."""
-    per = -(-num_cameras // n_rows)
-    return list(range(row * per, min((row + 1) * per, num_cameras)))
 
 
 def _row_of_device(mesh: jax.sharding.Mesh, dev) -> int:

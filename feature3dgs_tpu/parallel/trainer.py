@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from feature3dgs_tpu.data.dataset import SceneData
 from feature3dgs_tpu.parallel.sharded import sharded_train_step, stack_cameras
@@ -88,6 +89,21 @@ class DistributedTrainer(Trainer):
             return jax.device_put(x, self._repl_sharding)
         return jax.tree.map(put, ts)
 
+    _sync_tag = "dist-trainer"
+
+    def _assemble_batch(self, cameras):
+        """(cam_arrays, gt_images, gt_features) for one step's batch.
+        ``cameras`` is a list of Camera objects (or None to sample).
+        MultiHostTrainer overrides this with stripe-sampled uids +
+        process-local GT upload — everything else in step() is shared."""
+        cams = (list(cameras) if cameras is not None
+                else [self.pick_camera() for _ in range(self.batch)])
+        gt_images = jnp.stack([self._device_cache(c, "image") for c in cams])
+        gt_features = jnp.stack(
+            [self._device_cache(c, "feature") for c in cams])
+        return stack_cameras([c.to_view() for c in cams]), gt_images, \
+            gt_features
+
     def step(self, cameras=None, sync: bool = True) -> dict:
         """One mesh step over a camera batch (counts as ``batch``
         reference iterations)."""
@@ -99,17 +115,13 @@ class DistributedTrainer(Trainer):
                 from feature3dgs_tpu.model import gaussians as G
                 self.ts = self.ts.replace(gstate=G.one_up_sh_degree(
                     self.ts.gstate, self.max_sh_degree))
-        cams = (list(cameras) if cameras is not None
-                else [self.pick_camera() for _ in range(self.batch)])
-        gt_images = jnp.stack([self._device_cache(c, "image") for c in cams])
-        gt_features = jnp.stack(
-            [self._device_cache(c, "feature") for c in cams])
-        cam_arrays = stack_cameras([c.to_view() for c in cams])
+        cam_arrays, gt_images, gt_features = self._assemble_batch(cameras)
 
         # per-camera iteration span: the xyz LR decay and every constant
         # group fold the reference's per-iteration schedule over the whole
-        # batch (group_lrs docstring; train.py:77-81)
-        its = jnp.arange(it0, it0 + self.batch, dtype=jnp.int32)
+        # batch (group_lrs docstring; train.py:77-81). Host numpy: a
+        # committed single-device array would trip multi-process jits.
+        its = np.arange(it0, it0 + self.batch, dtype=np.int32)
         self.ts, metrics = sharded_train_step(
             self.ts, cam_arrays, gt_images, gt_features, self.bg,
             its, mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
@@ -118,7 +130,7 @@ class DistributedTrainer(Trainer):
 
         if sync:
             host_metrics, ok = self._sync_metrics(metrics, self.iteration,
-                                                  "dist-trainer")
+                                                  self._sync_tag)
             if ok:
                 self._pending_maintenance = (self.iteration, host_metrics)
             return host_metrics

@@ -117,12 +117,28 @@ def main(argv=None):
     from feature3dgs_tpu.train import checkpoints as ckpt
     from feature3dgs_tpu.render.modes import RENDER_ITEMS, render_net_image
 
+    # Host-local data loading (multi-host only): each process reads ONLY
+    # its own camera stripe's image + teacher-map files from disk — the
+    # multi-GB per-view LSeg maps (reference README.md:152) never leave
+    # their host. Test-split pixels load on the metrics-writing main
+    # process only.
+    pixel_filter = None
+    if n_proc > 1:
+        from feature3dgs_tpu.parallel.distributed import stripe_indices
+        proc = jax.process_index()
+
+        def pixel_filter(split, i, n):
+            if split == "train":
+                return i in stripe_indices(n, proc, n_proc)
+            return is_main
+
     scene = load_scene(
         mcfg.source_path,
         foundation_model=mcfg.foundation_model or None,
         images_dir=mcfg.images, resolution=mcfg.resolution,
         eval_split=mcfg.eval, white_background=mcfg.white_background,
-        allow_missing_features=args.allow_missing_features)
+        allow_missing_features=args.allow_missing_features,
+        pixel_filter=pixel_filter)
     if is_main:
         print(f"Loaded scene: {len(scene.train_cameras)} train / "
               f"{len(scene.test_cameras)} test cameras, "
@@ -148,6 +164,7 @@ def main(argv=None):
         mesh = make_host_chip_mesh(("data", "tile"))
         trainer = MultiHostTrainer(scene, mesh=mesh,
                                    cameras_per_step=args.cameras_per_step,
+                                   shard_gaussians=args.shard_gaussians,
                                    **tkw)
         mesh_ctx = jax.set_mesh(mesh)
         args.disable_viewer = True  # the GUI loop is single-controller
@@ -230,6 +247,7 @@ def main(argv=None):
     t_start = time.time()
     t_sync = time.time()
     last_sync_it = 0
+    last_logged_it = 0
     bsz = getattr(trainer, "batch", 1)
     log_path = (os.path.join(mcfg.model_path, "train_log.jsonl")
                 if is_main else os.devnull)
@@ -248,17 +266,28 @@ def main(argv=None):
             # metrics — every sync_every iters and at report/save points.
             # Blocked dispatches pay ~100ms RPC on tunneled TPUs
             # (docs/tpu_notes.md), which otherwise doubles CLI step time.
-            # the 50-boundary term keeps train_log.jsonl entries flowing even
-            # when --sync_every does not divide 50 (they are only written at
-            # sync points below)
-            sync = (it % args.sync_every < bsz or it % 50 < bsz
+            sync = (it % args.sync_every < bsz
                     or it >= ocfg.iterations
                     or any(i in args.test_iterations
                            or i in args.save_iterations
                            or i in args.checkpoint_iterations for i in span)
                     or bool(args.profile and it >= 20))
             metrics = trainer.step(sync=sync)
-            if _stop["sig"] is not None:
+            stop_now = _stop["sig"] is not None
+            if n_proc > 1:
+                # Multi-process stop must be AGREED or survivors hang in
+                # the next step's collectives: all-gather the local flag at
+                # sync points (every process reaches the same sync
+                # boundaries, and syncs already block) and only act
+                # unanimously-informed there.
+                if sync:
+                    from jax.experimental import multihost_utils
+                    stop_now = bool(np.asarray(
+                        multihost_utils.process_allgather(
+                            np.int32(stop_now))).any())
+                else:
+                    stop_now = False
+            if stop_now:
                 # post-densification ordering like scheduled checkpoints
                 # (flush enters jitted SPMD programs -> every process runs
                 # it; only main writes)
@@ -300,10 +329,16 @@ def main(argv=None):
                               metrics["loss"], it)
                 tb.add_scalar("iter_time", ms_it, it)
                 tb.add_scalar("total_points", int(metrics["num_active"]), it)
-            if it % 50 < bsz:
+            # jsonl cadence rides the EXISTING sync points (~every 50
+            # iters, or every sync_every when that is larger) — forcing an
+            # extra blocked sync at 50-boundaries would cap --sync_every
+            # at 50 and reintroduce the ~100-200 ms/sync tunnel RPC stalls
+            # the flag exists to avoid (docs/tpu_notes.md)
+            if it - last_logged_it >= 50 or it >= ocfg.iterations:
                 logf.write(json.dumps({"iteration": it, **metrics,
                                        "elapsed_s": time.time() - t_start}) + "\n")
                 logf.flush()
+                last_logged_it = it
 
             if is_main and any(i in args.test_iterations for i in span):
                 _report(trainer, scene, it, tb)
@@ -349,9 +384,14 @@ def _report(trainer, scene, iteration, tb=None):
         # evaluate on host-local device copies (report points are rare)
         params, gstate, bg = jax.tree.map(
             jnp.asarray, jax.device_get((params, gstate, bg)))
-    configs = [("test", scene.test_cameras),
-               ("train", [scene.train_cameras[i % len(scene.train_cameras)]
-                          for i in range(5, 30, 5)])]
+    # host-local pixel loading: this process only holds pixels for its own
+    # camera stripe — report on the loaded subset (single-process keeps the
+    # reference's exact 5-camera train sample, train.py:211)
+    train_loaded = [c for c in scene.train_cameras if c.image is not None]
+    configs = [("test", [c for c in scene.test_cameras
+                         if c.image is not None]),
+               ("train", [train_loaded[i % len(train_loaded)]
+                          for i in range(5, 30, 5)] if train_loaded else [])]
     for name, cams in configs:
         if not cams:
             continue

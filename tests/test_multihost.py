@@ -142,3 +142,51 @@ def test_two_process_training_matches_single_process(tmp_path):
             f"2-proc vs 1-proc {name}: {frac_bad:.1%} elements exceed "
             f"6e-4 (max {err.max():.2e})")
         assert err.max() < 5e-2, f"{name}: max drift {err.max():.2e}"
+        assert np.median(err) < 2e-5, (
+            f"2-proc vs 1-proc {name}: median drift {np.median(err):.2e} "
+            "is systematic, not knife-edge noise")
+
+
+def test_stripe_indices_balanced():
+    """Balanced partition: covers all items in order, every stripe
+    non-empty when items >= rows, sizes differ by <= 1 (ceil division left
+    trailing rows EMPTY, e.g. 6 over 4 -> [2,2,2,0], crashing epoch
+    sampling)."""
+    from feature3dgs_tpu.parallel.distributed import stripe_indices
+    for n, rows in [(6, 4), (9, 8), (8, 8), (7, 3), (100, 8), (4, 4)]:
+        stripes = [stripe_indices(n, d, rows) for d in range(rows)]
+        assert [i for s in stripes for i in s] == list(range(n)), (n, rows)
+        assert all(len(s) > 0 for s in stripes), (n, rows, stripes)
+        sizes = [len(s) for s in stripes]
+        assert max(sizes) - min(sizes) <= 1, (n, rows, sizes)
+
+
+def test_host_local_pixel_loading(tmp_path_factory):
+    """load_scene(pixel_filter=...) loads geometry for every camera but
+    pixels/teacher maps only for the filtered subset — the multi-host
+    host-local data path; the missing-feature check must not fire for
+    deliberately skipped cameras."""
+    from tests.test_e2e_cli import _build_dataset
+    from feature3dgs_tpu.data.dataset import load_scene
+
+    root = str(tmp_path_factory.mktemp("stripe_scene"))
+    _build_dataset(root)
+
+    full = load_scene(root, foundation_model="lseg")
+    n = len(full.train_cameras)
+    keep = set(range(0, n, 2))
+    part = load_scene(root, foundation_model="lseg",
+                      pixel_filter=lambda split, i, m:
+                      split == "train" and i in keep)
+    assert len(part.train_cameras) == n
+    assert part.feature_dim == full.feature_dim > 0
+    for i, (a, b) in enumerate(zip(part.train_cameras, full.train_cameras)):
+        assert (a.width, a.height) == (b.width, b.height)
+        assert a.image_name == b.image_name
+        if i in keep:
+            assert a.pixels_loaded and a.image is not None
+            assert a.semantic_feature is not None
+            np.testing.assert_array_equal(a.image, b.image)
+        else:
+            assert not a.pixels_loaded
+            assert a.image is None and a.semantic_feature is None
