@@ -42,12 +42,20 @@ HOOKS = (5, 11, 17, 23)
 REASSEMBLE = (256, 512, 1024, 1024)
 FEATURES = 256
 OUT_C = 512
+IMG_SIZE = 384                # timm vit_large_patch16_384 native grid
 NORM_MEAN = (0.5, 0.5, 0.5)   # lseg_module.py:37-38
 NORM_STD = (0.5, 0.5, 0.5)
 
 
-def _modules():
-    """Build the torch module classes lazily (torch import at call time)."""
+def _modules(VIT_DIM=VIT_DIM, VIT_DEPTH=VIT_DEPTH, VIT_HEADS=VIT_HEADS,
+             PATCH=PATCH, HOOKS=HOOKS, REASSEMBLE=REASSEMBLE,
+             FEATURES=FEATURES, OUT_C=OUT_C, IMG_SIZE=IMG_SIZE):
+    """Build the torch module classes lazily (torch import at call time).
+
+    Dims are parameterized (defaults = the clip_vitl16_384 config every
+    reference experiment uses) so tests can instantiate a TINY net and
+    differentially validate the trunk math against an independent
+    implementation (HF transformers ViTModel) without 300M-param builds."""
     import torch
     import torch.nn as nn
     import torch.nn.functional as F
@@ -113,7 +121,7 @@ def _modules():
             self.patch_embed = PatchEmbed()
             self.cls_token = nn.Parameter(torch.zeros(1, 1, VIT_DIM))
             self.pos_embed = nn.Parameter(
-                torch.zeros(1, (384 // PATCH) ** 2 + 1, VIT_DIM))
+                torch.zeros(1, (IMG_SIZE // PATCH) ** 2 + 1, VIT_DIM))
             self.blocks = nn.ModuleList(
                 [Block(VIT_DIM, VIT_HEADS) for _ in range(VIT_DEPTH)])
             self.norm = nn.LayerNorm(VIT_DIM, eps=1e-6)
@@ -283,8 +291,10 @@ def _modules():
     return LSegNet
 
 
-def build_lseg():
-    return _modules()()
+def build_lseg(**dims):
+    """LSegNet at the reference config; ``dims`` override the architecture
+    constants (tests only — see _modules)."""
+    return _modules(**dims)()
 
 
 def load_lseg_checkpoint(path: str | None = None):

@@ -87,6 +87,103 @@ def test_lseg_state_dict_matches_reference_names():
         (3072, 1024)
 
 
+TINY = dict(VIT_DIM=32, VIT_DEPTH=4, VIT_HEADS=2, PATCH=8, IMG_SIZE=32,
+            HOOKS=(0, 1, 2, 3), REASSEMBLE=(8, 8, 8, 8), FEATURES=8,
+            OUT_C=16)
+
+
+def _tiny_seeded_net():
+    net = lseg_net.build_lseg(**TINY)
+    torch.manual_seed(0)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn_like(p) * 0.05)
+    return net.eval()
+
+
+def test_vit_trunk_matches_hf_transformers():
+    """Differential validation of the ViT trunk math without weights
+    (VERDICT r2 missing #6): load the SAME tiny seeded weights into our
+    trunk and into HF transformers' independent ViTModel (architecturally
+    identical to the timm vit_large_patch16_384 the reference fork wraps:
+    pre-norm blocks, packed-qkv attention, GELU MLP, LayerNorm eps 1e-6,
+    cls+pos embedding) — per-block activations must agree to float noise.
+    This pins residual order, attention scaling, eps, and qkv packing; a
+    state-dict key audit alone cannot see any of those."""
+    from transformers import ViTConfig, ViTModel
+
+    net = _tiny_seeded_net()
+    vit = net.pretrained.model
+    sd = vit.state_dict()
+    D, L = TINY["VIT_DIM"], TINY["VIT_DEPTH"]
+
+    cfg = ViTConfig(hidden_size=D, num_hidden_layers=L,
+                    num_attention_heads=TINY["VIT_HEADS"],
+                    intermediate_size=4 * D, image_size=TINY["IMG_SIZE"],
+                    patch_size=TINY["PATCH"], hidden_act="gelu",
+                    layer_norm_eps=1e-6, hidden_dropout_prob=0.0,
+                    attention_probs_dropout_prob=0.0)
+    hf = ViTModel(cfg, add_pooling_layer=False).eval()
+
+    hsd = {
+        "embeddings.cls_token": sd["cls_token"],
+        "embeddings.position_embeddings": sd["pos_embed"],
+        "embeddings.patch_embeddings.projection.weight":
+            sd["patch_embed.proj.weight"],
+        "embeddings.patch_embeddings.projection.bias":
+            sd["patch_embed.proj.bias"],
+        "layernorm.weight": sd["norm.weight"],
+        "layernorm.bias": sd["norm.bias"],
+    }
+    for i in range(L):
+        b, e = f"blocks.{i}.", f"encoder.layer.{i}."
+        qkv_w, qkv_b = sd[b + "attn.qkv.weight"], sd[b + "attn.qkv.bias"]
+        for j, nm in enumerate(("query", "key", "value")):
+            hsd[e + f"attention.attention.{nm}.weight"] = \
+                qkv_w[j * D:(j + 1) * D]
+            hsd[e + f"attention.attention.{nm}.bias"] = \
+                qkv_b[j * D:(j + 1) * D]
+        hsd[e + "attention.output.dense.weight"] = sd[b + "attn.proj.weight"]
+        hsd[e + "attention.output.dense.bias"] = sd[b + "attn.proj.bias"]
+        hsd[e + "intermediate.dense.weight"] = sd[b + "mlp.fc1.weight"]
+        hsd[e + "intermediate.dense.bias"] = sd[b + "mlp.fc1.bias"]
+        hsd[e + "output.dense.weight"] = sd[b + "mlp.fc2.weight"]
+        hsd[e + "output.dense.bias"] = sd[b + "mlp.fc2.bias"]
+        hsd[e + "layernorm_before.weight"] = sd[b + "norm1.weight"]
+        hsd[e + "layernorm_before.bias"] = sd[b + "norm1.bias"]
+        hsd[e + "layernorm_after.weight"] = sd[b + "norm2.weight"]
+        hsd[e + "layernorm_after.bias"] = sd[b + "norm2.bias"]
+    hf.load_state_dict(hsd, strict=True)  # every HF param served by ours
+
+    torch.manual_seed(7)
+    x = torch.randn(2, 3, TINY["IMG_SIZE"], TINY["IMG_SIZE"])
+    with torch.no_grad():
+        ours = vit.forward_flex(x, hooks=(0, 1, 2, 3))
+        theirs = hf(x, output_hidden_states=True).hidden_states
+    for i in range(L):
+        torch.testing.assert_close(ours[i], theirs[i + 1],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_lseg_tiny_golden_regression():
+    """Frozen end-to-end numbers of the tiny seeded LSegNet (recorded
+    2026-08-17, torch CPU): catches silent forward-wiring drift (readout
+    fusion, reassemble strides, RefineNet order, interpolation modes) that
+    shape tests cannot. The trunk half is independently validated against
+    HF transformers above."""
+    net = _tiny_seeded_net()
+    torch.manual_seed(3)
+    x = torch.randn(1, 3, 32, 32)
+    with torch.no_grad():
+        out = net(x)
+    assert out.shape == (1, 16, 64, 64)
+    np.testing.assert_allclose(out.mean().item(), -0.0163109228, atol=1e-6)
+    np.testing.assert_allclose(out.std().item(), 0.0641916618, atol=1e-6)
+    np.testing.assert_allclose(
+        out[0, :4, 7, 9].numpy(),
+        [-0.05899347, 0.1181064, 0.05081473, 0.03438001], atol=2e-6)
+
+
 def test_lseg_checkpoint_loader_roundtrip(tmp_path):
     """A saved lightning-style checkpoint (net.* prefix, extra clip keys)
     loads strictly into a fresh net and reproduces its outputs."""
