@@ -28,7 +28,8 @@ class Camera:
     fovy: float
     image: np.ndarray | None           # [H,W,3] float32 in [0,1] (mask applied)
     image_name: str
-    semantic_feature: np.ndarray | None  # [h,w,C] float32 teacher map (HWC)
+    semantic_feature: np.ndarray | None  # [h,w,C] teacher map (HWC), float32
+    # or float16 when fp16 on disk (load_feature_map; steps upcast to f32)
     width: int
     height: int
     znear: float = 0.01

@@ -33,11 +33,19 @@ FEATURE_DIRS = {"sam": "sam_embeddings", "lseg": "rgb_feature_langseg"}
 
 def load_feature_map(path_base: str) -> np.ndarray | None:
     """Load ``<base>_fmap_CxHxW.pt`` (torch CHW tensor) or .npy/.npz sidecar;
-    returns HWC float32 or None."""
+    returns HWC float32 — or float16 when the map is fp16 on disk (the
+    reference saves teacher/rendered maps half precision, render.py:179-180,
+    encode_images.py:478-481). Preserving fp16 halves the GT device cache
+    and the loss-path HBM reads; it is EXACT, not an approximation: the
+    train steps upcast to f32 before any arithmetic, which reproduces
+    torch's fp16->f32 type promotion in the reference's l1_loss
+    (train.py:105) bit for bit."""
     for ext, loader in ((".pt", _load_pt), (".npy", np.load), (".npz", _load_npz)):
         p = path_base + "_fmap_CxHxW" + ext
         if os.path.exists(p):
-            arr = np.asarray(loader(p), np.float32)
+            arr = np.asarray(loader(p))
+            if arr.dtype != np.float16:
+                arr = arr.astype(np.float32)
             if arr.ndim != 3:
                 raise ValueError(f"{p}: expected CHW feature map, got {arr.shape}")
             return np.ascontiguousarray(arr.transpose(1, 2, 0))  # CHW -> HWC
@@ -46,8 +54,10 @@ def load_feature_map(path_base: str) -> np.ndarray | None:
 
 def _load_pt(path):
     import torch
-    t = torch.load(path, map_location="cpu", weights_only=False)
-    return t.detach().float().numpy()
+    t = torch.load(path, map_location="cpu", weights_only=False).detach()
+    if t.dtype != torch.float16:  # bf16 etc. -> f32 (numpy has no bf16)
+        t = t.float()
+    return t.numpy()
 
 
 def _load_npz(path):

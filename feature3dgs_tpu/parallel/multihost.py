@@ -147,8 +147,15 @@ class MultiHostTrainer(DistributedTrainer):
                 "here")
         img = np.asarray(cam.image, np.float32)
         if cam.semantic_feature is not None:
-            feat = np.asarray(cam.semantic_feature, np.float32)
+            feat = np.asarray(cam.semantic_feature)  # fp16 maps stay fp16
+            if feat.dtype != np.float16:
+                feat = feat.astype(np.float32)
         else:
+            # f32 zero-fill (allow_missing_features only). Caveat: an fp16
+            # dataset whose missing maps all land on one host's stripe
+            # yields per-process dtype mismatch in the global batch — that
+            # fails LOUDLY in make_array_from_process_local_data, never
+            # silently
             feat = np.zeros((*img.shape[:2], self.feature_out_dim),
                             np.float32)
         self._host_gt_cache[uid] = (img, feat)

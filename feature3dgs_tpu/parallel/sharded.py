@@ -295,7 +295,8 @@ def sharded_train_step(
                     "tile")
                 if speedup:
                     fmap = apply_decoder(decoder, fmap)
-                lf_i = L.l1_loss(fmap, gt_feat[i])
+                # fp16 GT upcast fused into the loss reduce (see train_step)
+                lf_i = L.l1_loss(fmap, gt_feat[i].astype(jnp.float32))
                 total = total + rgb_term + ocfg.feature_loss_weight * lf_i
                 ll1 = ll1 + l1_i
                 ll1_feat = ll1_feat + lf_i

@@ -95,7 +95,10 @@ def train_step(
             gt_feature.shape[0], gt_feature.shape[1])
         if speedup:
             fmap = apply_decoder(decoder, fmap)
-        ll1_feat = L.l1_loss(fmap, gt_feature)
+        # fp16 teacher maps upcast here (fused into the loss reduce) —
+        # torch's fp16->f32 promotion semantics in the reference l1_loss
+        # (train.py:105); no-op for f32 maps
+        ll1_feat = L.l1_loss(fmap, gt_feature.astype(jnp.float32))
         total = rgb + ocfg.feature_loss_weight * ll1_feat
         return total, (out, ll1, ll1_feat)
 
@@ -393,7 +396,9 @@ class Trainer:
         if kind == "image":
             host = np.asarray(cam.image, np.float32)
         elif cam.semantic_feature is not None:
-            host = np.asarray(cam.semantic_feature, np.float32)
+            host = np.asarray(cam.semantic_feature)  # fp16 maps stay fp16
+            if host.dtype != np.float16:
+                host = host.astype(np.float32)
         else:
             host = np.zeros((*cam.image.shape[:2], self.feature_out_dim),
                             np.float32)

@@ -113,6 +113,31 @@ def test_blender_scene(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "points3d.ply"))
 
 
+def test_feature_map_dtype_preserved(tmp_path):
+    """fp16 on-disk teacher maps load as fp16 (half the GT cache, exact —
+    the train steps upcast before any math); every other float dtype
+    normalizes to f32. Covers the .pt (torch), .npy, and .npz loaders."""
+    import torch
+    from feature3dgs_tpu.data.dataset import load_feature_map
+    chw = np.random.RandomState(0).randn(4, 6, 8)
+
+    torch.save(torch.tensor(chw, dtype=torch.float16), tmp_path / "a_fmap_CxHxW.pt")
+    a = load_feature_map(str(tmp_path / "a"))
+    assert a.dtype == np.float16 and a.shape == (6, 8, 4)
+
+    torch.save(torch.tensor(chw, dtype=torch.bfloat16), tmp_path / "b_fmap_CxHxW.pt")
+    assert load_feature_map(str(tmp_path / "b")).dtype == np.float32
+
+    np.save(tmp_path / "c_fmap_CxHxW.npy", chw.astype(np.float16))
+    assert load_feature_map(str(tmp_path / "c")).dtype == np.float16
+
+    np.save(tmp_path / "d_fmap_CxHxW.npy", chw.astype(np.float64))
+    assert load_feature_map(str(tmp_path / "d")).dtype == np.float32
+
+    np.savez(tmp_path / "e_fmap_CxHxW.npz", chw.astype(np.float16))
+    assert load_feature_map(str(tmp_path / "e")).dtype == np.float16
+
+
 def test_resolution_policy():
     # utils/camera_utils.py:19-48
     assert choose_resolution(1600, 1200, 2) == (800, 600)

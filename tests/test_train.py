@@ -200,6 +200,38 @@ def test_gt_cache_lru_budget():
     assert len(tr._gt_cache) < 24
 
 
+def test_fp16_gt_features_train_bitwise_like_f32(scene):
+    """fp16 teacher maps are a STORAGE format only: training against fp16
+    maps is bit-identical to training against the same values pre-upcast
+    to f32 (train_step upcasts before any arithmetic — torch's fp16->f32
+    promotion in the reference l1_loss, train.py:105). Storing fp16 halves
+    the GT device cache (the maps are fp16 on disk, README.md:152)."""
+    import dataclasses
+
+    def run(dtype):
+        cams = [dataclasses.replace(
+            c, semantic_feature=np.asarray(
+                c.semantic_feature, np.float32).astype(
+                    np.float16).astype(dtype))
+            for c in scene.train_cameras]
+        sc = dataclasses.replace(scene, train_cameras=cams)
+        tr = Trainer(sc, ocfg=OptimizationConfig(
+                         iterations=6, densify_from_iter=1000,
+                         lr=optim.LRConfig(position_lr_max_steps=6)),
+                     rcfg=RCFG, max_sh_degree=3, feature_dim=F_DIM,
+                     capacity_headroom=2.0)
+        for i in range(6):
+            m = tr.step(camera=cams[i % len(cams)])
+        tr.flush_maintenance()
+        return m, tr.ts.params
+
+    m16, p16 = run(np.float16)
+    m32, p32 = run(np.float32)
+    assert m16["loss"] == m32["loss"]
+    for a, b in zip(jax.tree.leaves(p16), jax.tree.leaves(p32)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_missing_feature_map_raises(tmp_path):
     """load_scene must fail loudly when -f is set but a train camera has
     no teacher map (reference raises, dataset_readers.py:110-112) unless
