@@ -321,3 +321,36 @@ def test_amg_pipeline_against_hf_generator():
         best = max(sam_decode._mask_iou(m, r["segmentation"])
                    for r in ours)
         assert best > 0.5, "HF mask has no counterpart"
+
+
+def test_encoder_pca_vis_shared_basis(tmp_path):
+    """encode_lseg's PCA visualization: pca_dict.pt is fit ONCE on the
+    first image and reused for later views (encode_images.py:488-514), vis
+    PNGs land per image, and re-projecting with the saved dict reproduces
+    the first image's visualization."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from encode_lseg import _save_feature_vis
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    f0 = rng.randn(16, 12, 10).astype(np.float16)
+    f1 = rng.randn(16, 12, 10).astype(np.float16)
+    basis = _save_feature_vis(f0, None, str(tmp_path), "a", torch, Image)
+    basis2 = _save_feature_vis(f1, basis, str(tmp_path), "b", torch, Image)
+    assert basis2 is basis  # fit once, reused verbatim
+    assert os.path.exists(tmp_path / "a_feature_vis.png")
+    assert os.path.exists(tmp_path / "b_feature_vis.png")
+
+    d = torch.load(tmp_path / "pca_dict.pt", weights_only=False)
+    mean = d["feature_pca_mean"].numpy()
+    comps = d["feature_pca_components"].numpy()
+    assert comps.shape == (3, 16)
+    flat = f0.astype(np.float32).reshape(16, -1).T
+    flat /= np.maximum(np.linalg.norm(flat, axis=1, keepdims=True), 1e-12)
+    vis = ((flat - mean) @ comps.T - d["feature_pca_postprocess_sub"])
+    vis = np.clip(vis / d["feature_pca_postprocess_div"], 0.0, 1.0)
+    expect = (vis.reshape(12, 10, 3) * 255).astype(np.uint8)
+    got = np.asarray(Image.open(tmp_path / "a_feature_vis.png"))
+    np.testing.assert_array_equal(got, expect)
