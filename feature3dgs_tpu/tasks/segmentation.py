@@ -44,6 +44,23 @@ def colorize_labels(labels: np.ndarray) -> np.ndarray:
     return _PALETTE[labels % len(_PALETTE)]
 
 
+def legend_entries(labels_map: np.ndarray, label_names,
+                   palette: np.ndarray | None = None):
+    """(palette RGB image, [(name, rgb float triple) per class present]) —
+    the data half of the reference's get_legend_patch
+    (encode_images.py:242-252): 0-based class id i is drawn with
+    adepallete entry i and named label_names[i]; only classes present in
+    the map get a legend patch. Matplotlib rendering stays in
+    scripts/segmentation.py."""
+    from feature3dgs_tpu.tasks.ade20k import PALETTE
+    pal = PALETTE if palette is None else np.asarray(palette, np.uint8)
+    labels_map = np.asarray(labels_map)
+    img = pal[np.clip(labels_map, 0, len(pal) - 1)]
+    entries = [(label_names[i], (pal[i] / 255.0).tolist())
+               for i in np.unique(labels_map) if i < len(label_names)]
+    return img, entries
+
+
 def pixel_accuracy(pred: np.ndarray, gt: np.ndarray) -> float:
     """segmentation_metric.py / loss_utils.py:78-81."""
     pred, gt = np.asarray(pred), np.asarray(gt)

@@ -203,3 +203,28 @@ def test_segmentation_metric_replica_protocol(tmp_path):
     res = json.loads(out.read_text())
     assert res["mean_accuracy"] > 0.99
     assert res["mean_miou"] > 0.99
+
+
+def test_legend_entries_reference_palette():
+    """legend_entries mirrors get_legend_patch (encode_images.py:242-252):
+    0-based class id i -> adepallete entry i + label_names[i]; only classes
+    present in the map get entries."""
+    from feature3dgs_tpu.tasks import segmentation as seg
+    from feature3dgs_tpu.tasks.ade20k import LABELS, PALETTE
+    lab = np.array([[0, 2], [2, 5]])
+    img, entries = seg.legend_entries(lab, LABELS)
+    assert img.shape == (2, 2, 3)
+    np.testing.assert_array_equal(img[0, 0], PALETTE[0])   # wall -> black
+    np.testing.assert_array_equal(img[1, 1], PALETTE[5])
+    assert [n for n, _ in entries] == ["wall", "sky", "ceiling"]
+    assert entries[1][1] == (PALETTE[2] / 255.0).tolist()
+    # names shorter than the id range: out-of-range ids get no entry
+    _, e2 = seg.legend_entries(np.array([[0, 3]]), ["a", "b"])
+    assert [n for n, _ in e2] == ["a"]
+
+
+def test_ade20k_metadata():
+    from feature3dgs_tpu.tasks.ade20k import LABELS, PALETTE
+    assert len(LABELS) == 150 and PALETTE.shape == (151, 3)
+    assert LABELS[0] == "wall" and LABELS[-1] == "flag"
+    assert PALETTE.dtype == np.uint8
