@@ -3,4 +3,5 @@ from feature3dgs_tpu.ops.rasterize import (  # noqa: F401
     RasterOutput,
     mark_visible,
     rasterize,
+    rasterize_batch,
 )

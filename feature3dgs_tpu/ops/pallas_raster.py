@@ -139,8 +139,8 @@ def _mmc(a, b, contract):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
-                k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int, tiles_per_program: int,
+                k_chunk: int, grid_x: int, grid_y: int, tile_w: int,
+                tile_h: int, c_pad: int, l_cap: int, tiles_per_program: int,
                 split: bool):
     if split:
         # split layout: misc outputs are CHANNEL-MAJOR [8, P] (rows
@@ -181,7 +181,11 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         # rendering passes each device a contiguous slice of the tile list)
         t_glob = tbase_ref[0] + t
         tile_x = jax.lax.rem(t_glob, grid_x)
-        tile_y = jax.lax.div(t_glob, grid_x)
+        # rem(.., grid_y) wraps the tile row PER IMAGE: batched rendering
+        # (rasterize_batch) concatenates B same-resolution tile grids into
+        # one list, so image b's tiles occupy [b*T, (b+1)*T) and their pixel
+        # coords must be image-local. Identity for a single grid.
+        tile_y = jax.lax.rem(jax.lax.div(t_glob, grid_x), grid_y)
         px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
         py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
@@ -351,9 +355,9 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
         counts = jnp.concatenate([counts, zpad])
 
     kernel = functools.partial(
-        _fwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
-        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, tiles_per_program=tpp,
-        split=split)
+        _fwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, grid_y=grid.grid_y,
+        tile_w=grid.tile_w, tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap,
+        tiles_per_program=tpp, split=split)
 
     out_specs = [
         pl.BlockSpec((tpp, 8, p) if split else (tpp, p, c_pad),
@@ -422,8 +426,8 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
-                k_chunk: int, grid_x: int, tile_w: int, tile_h: int,
-                c_pad: int, l_cap: int, split: bool, fag: bool,
+                k_chunk: int, grid_x: int, grid_y: int, tile_w: int,
+                tile_h: int, c_pad: int, l_cap: int, split: bool, fag: bool,
                 tiles_per_program: int, poison: bool = False):
     # poison (tests only): a NaN-filled init is aliased into dslab_hbm as
     # one extra trailing input ref; only its buffer is used.
@@ -500,7 +504,8 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
 
         t_glob = tbase_ref[0] + t
         tile_x = jax.lax.rem(t_glob, grid_x)
-        tile_y = jax.lax.div(t_glob, grid_x)
+        # per-image row wrap (see _fwd_kernel; identity for a single grid)
+        tile_y = jax.lax.rem(jax.lax.div(t_glob, grid_x), grid_y)
         px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
         py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
 
@@ -802,9 +807,10 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
             [ncontrib, jnp.zeros((t_pad - t_tiles, p), ncontrib.dtype)])
 
     kernel = functools.partial(
-        _bwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, tile_w=grid.tile_w,
-        tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap, split=split,
-        fag=feature_alpha_grad, tiles_per_program=tpp, poison=poison_init)
+        _bwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, grid_y=grid.grid_y,
+        tile_w=grid.tile_w, tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap,
+        split=split, fag=feature_alpha_grad, tiles_per_program=tpp,
+        poison=poison_init)
 
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)

@@ -216,3 +216,136 @@ def rasterize(
         max_tile_count=jnp.max(bins.tile_counts),
         feature_tiles=out.feature,
     )
+
+
+def rasterize_batch(
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    semantic_features: jnp.ndarray,
+    cams: proj_lib.CameraView,
+    *,
+    scales: jnp.ndarray | None = None,
+    rotations: jnp.ndarray | None = None,
+    shs: jnp.ndarray | None = None,
+    sh_degree: int = 0,
+    colors_precomp: jnp.ndarray | None = None,
+    bg: jnp.ndarray | None = None,
+    scale_modifier=1.0,
+    active_mask: jnp.ndarray | None = None,
+    config: RasterConfig = RasterConfig(),
+) -> RasterOutput:
+    """Batched INFERENCE rendering of B same-resolution views in one pass.
+
+    ``cams`` is a stacked CameraView (array fields [B,...], shared static
+    width/height). Returns a RasterOutput whose image fields have a leading
+    [B] axis. Forward-only — no custom VJP is wired for the batched tile
+    list; training batches over the data axis instead (parallel/sharded.py).
+
+    Rather than vmapping the whole pipeline (a Pallas kernel under vmap
+    gets an outer grid axis and per-image padding), the per-camera tile
+    grids are CONCATENATED: preprocess/pack/binning run vmapped (one big
+    batched sort + gather instead of B small ones), per-camera tile starts
+    are offset by their slab base b*L, and the ONE forward kernel walks all
+    B*T tiles — its per-image row wrap (``rem(t // grid_x, grid_y)``) keeps
+    pixel coordinates image-local, so every tile's arithmetic is bit-
+    identical to B separate rasterize() calls while the ~15 ms/frame of
+    per-frame fixed cost (preprocess, binning, sort, pack — docs/roofline.md
+    'Forward-render throughput') amortizes across the batch.
+
+    The reference renders strictly one view per call
+    (gaussian_renderer/__init__.py:173-261); this is a TPU-native addition
+    used by scripts/render.py --render_batch and scripts/bench_render.py.
+    """
+    grid = config.grid(cams.width, cams.height)
+    b_cams = cams.view.shape[0]
+    if bg is None:
+        bg = jnp.zeros((3,), means3d.dtype)
+
+    def _pre(cam):
+        pre = proj_lib.preprocess(
+            means3d, opacities, cam,
+            scales=scales, rotations=rotations,
+            shs=shs, sh_degree=sh_degree, colors_precomp=colors_precomp,
+            scale_modifier=scale_modifier)
+        rect_min, rect_max = proj_lib.tile_rect(
+            pre.xy, pre.radius, grid.grid_x, grid.grid_y,
+            grid.tile_w, grid.tile_h)
+        area = ((rect_max[:, 0] - rect_min[:, 0])
+                * (rect_max[:, 1] - rect_min[:, 1]))
+        valid = pre.valid & (area > 0)
+        if active_mask is not None:
+            valid = valid & active_mask
+        return pre, rect_min, rect_max, valid
+
+    pre, rect_min, rect_max, valid = jax.vmap(_pre)(cams)
+
+    backend = config.backend
+    if backend == "auto":
+        platform = jax.devices()[0].platform
+        backend = "pallas" if platform in ("tpu", "axon") else "xla"
+    pallas = backend in ("pallas", "pallas_interpret")
+
+    l_cap = config.instance_capacity_or_default
+    bins = jax.vmap(lambda rmin, rmax, d, v: binning_lib.bin_gaussians(
+        rmin, rmax, d, v, grid,
+        instance_capacity=l_cap, tile_capacity=config.tile_capacity,
+        build_tile_lists=not pallas))(
+            rect_min, rect_max, jax.lax.stop_gradient(pre.depth), valid)
+
+    k_chunk = min(max(config.chunk, 8), 256)
+    if pallas:
+        from feature3dgs_tpu.ops import pallas_raster
+        slab, _ = jax.vmap(
+            pallas_raster.pack_instances, in_axes=(0, 0, 0, 0, 0, None, 0)
+        )(bins.gid_sorted, pre.xy, pre.conic, pre.opacity, pre.rgb,
+          semantic_features, pre.depth)
+        # per-camera slab stride: instance capacity + the binning's filler
+        # padding (which carries each camera's >=256-row end-of-slab slack)
+        stride = slab.shape[1]
+        starts = (bins.tile_starts
+                  + (jnp.arange(b_cams, dtype=jnp.int32) * stride)[:, None])
+        out_misc, out_feat, finalt, ncontrib = pallas_raster.forward(
+            starts.reshape(-1), bins.tile_counts.reshape(-1),
+            slab.reshape(b_cams * stride, slab.shape[-1]), grid,
+            k_chunk=k_chunk, interpret=backend == "pallas_interpret",
+            tiles_per_program=config.tiles_per_program)
+        f_dim = semantic_features.shape[-1]
+        if out_feat is not None:  # split layout (see pallas_raster._cp_fwd)
+            color = out_misc[:, 0:3, :].transpose(0, 2, 1)
+            depth_t = out_misc[:, 3, :]
+            feature = out_feat[:, :, 0:f_dim]
+        else:
+            fo = pallas_raster.feat_offset(f_dim)
+            color = out_misc[:, :, pallas_raster.CH_OFF:pallas_raster.CH_OFF + 3]
+            depth_t = out_misc[:, :, pallas_raster.CH_OFF + 3]
+            feature = out_misc[:, :, fo:fo + f_dim]
+        t_tiles = grid.num_tiles
+        per_cam = lambda x: x.reshape((b_cams, t_tiles) + x.shape[1:])
+        color, feature, depth_t, finalt, ncontrib = map(
+            per_cam, (color, feature, depth_t, finalt, ncontrib))
+    else:
+        comp = jax.vmap(lambda lists, xy, conic, op, rgb, d: (
+            composite_lib.composite(
+                lists, composite_lib.tile_pixel_coords(grid, xy.dtype),
+                xy, conic, op, rgb, semantic_features, d,
+                config.chunk, config.precision, False)))(
+            bins.tile_lists, pre.xy, pre.conic, pre.opacity, pre.rgb,
+            pre.depth)
+        color, feature, depth_t = comp.color, comp.feature, comp.depth
+        finalt, ncontrib = comp.final_T, comp.n_contrib
+
+    color = color + finalt[..., None] * bg
+    radii = jnp.where(valid, pre.radius, 0.0)
+    img = jax.vmap(lambda x: tiles_to_image(x, grid))
+    return RasterOutput(
+        color=img(color),
+        feature=img(feature),
+        depth=img(depth_t),
+        alpha=1.0 - img(finalt),
+        radii=radii,
+        visibility=radii > 0,
+        n_contrib=img(ncontrib),
+        total_instances=bins.total,
+        max_tile_count=jnp.max(bins.tile_counts, axis=-1),
+        feature_tiles=feature,
+    )

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from feature3dgs_tpu.core import sh as sh_lib
 from feature3dgs_tpu.core.projection import CameraView, build_cov3d
 from feature3dgs_tpu.model import gaussians as G
-from feature3dgs_tpu.ops import RasterConfig, RasterOutput, rasterize
+from feature3dgs_tpu.ops import (RasterConfig, RasterOutput, rasterize,
+                                 rasterize_batch)
 
 
 def render(
@@ -59,4 +60,26 @@ def render(
         scales=scales, rotations=rotations, cov3d_precomp=cov3d,
         shs=shs, sh_degree=state.active_sh_degree, colors_precomp=colors,
         bg=bg, scale_modifier=scaling_modifier, ndc_offset=ndc_offset,
+        active_mask=state.alive, config=config)
+
+
+def render_batch(
+    params: G.GaussianParams,
+    state: G.GaussianState,
+    cams: CameraView,
+    *,
+    bg: jnp.ndarray | None = None,
+    config: RasterConfig = RasterConfig(),
+    scaling_modifier: float = 1.0,
+) -> RasterOutput:
+    """Forward-only batched render of B stacked same-resolution views —
+    ops.rasterize_batch with the model activations applied once (the
+    per-frame preprocess/binning fixed cost amortizes across the batch;
+    image fields come back with a leading [B] axis)."""
+    opacity = jnp.where(state.alive, G.get_opacity(params), 0.0)
+    return rasterize_batch(
+        params.xyz, opacity, G.get_semantic(params), cams,
+        scales=G.get_scaling(params), rotations=G.get_rotation(params),
+        shs=G.get_features(params), sh_degree=state.active_sh_degree,
+        bg=bg, scale_modifier=scaling_modifier,
         active_mask=state.alive, config=config)

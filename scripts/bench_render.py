@@ -27,6 +27,12 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=800)
     ap.add_argument("--f_dims", type=int, nargs="+", default=[16, 128, 256])
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="frames per batched render call "
+                         "(renderer.render_batch; amortizes the per-frame "
+                         "preprocess/binning fixed cost)")
+    ap.add_argument("--instance_capacity", type=int, default=1 << 19)
+    ap.add_argument("--tile_capacity", type=int, default=1 << 11)
     args = ap.parse_args(argv)
 
     import jax
@@ -49,9 +55,28 @@ def main(argv=None):
         tan_fovx=jnp.float32(math.tan(0.6)),
         tan_fovy=jnp.float32(math.tan(0.45)),
         width=args.width, height=args.height)
-    rcfg = RasterConfig(instance_capacity=1 << 19, tile_capacity=1 << 11,
-                        chunk=128)
+    rcfg = RasterConfig(instance_capacity=args.instance_capacity,
+                        tile_capacity=args.tile_capacity, chunk=128)
     platform = jax.devices()[0].platform
+
+    if args.batch > 1:
+        # distinct viewpoints: orbit the camera around z by small angles
+        def orbit(theta):
+            c, s = math.cos(theta), math.sin(theta)
+            R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+            v = transforms.world_to_view(R, np.array([0.0, 0.0, 5.0]))
+            return CameraView(
+                view=jnp.asarray(v),
+                proj=jnp.asarray(
+                    transforms.projection_matrix(0.01, 100.0, 1.2, 0.9) @ v),
+                campos=jnp.asarray(transforms.camera_center_from_view(
+                    v).astype(np.float32)),
+                tan_fovx=cam.tan_fovx, tan_fovy=cam.tan_fovy,
+                width=args.width, height=args.height)
+        import jax as _jax
+        cam = _jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[orbit(0.05 * i) for i in range(args.batch)])
 
     for f_dim in args.f_dims:
         params, state = G.create_from_pcd(
@@ -66,7 +91,8 @@ def main(argv=None):
 
         @jax.jit
         def render(params, state=state):
-            out = renderer.render(params, state, cam, config=rcfg)
+            fn = renderer.render_batch if args.batch > 1 else renderer.render
+            out = fn(params, state, cam, config=rcfg)
             return out.color, out.feature, out.depth
 
         outs = render(params)
@@ -85,8 +111,9 @@ def main(argv=None):
             ms = (time.time() - t0) / args.iters * 1000
         print(json.dumps({
             "metric": "forward-render FPS (RGB+feat+depth)",
-            "f_dim": f_dim, "render_ms": round(ms, 2),
-            "fps": round(1000.0 / ms, 1),
+            "f_dim": f_dim, "render_ms": round(ms / args.batch, 2),
+            "fps": round(1000.0 * args.batch / ms, 1),
+            "batch": args.batch,
             "image": [args.width, args.height], "n_gauss": args.n_gauss,
             "platform": platform,
         }))
