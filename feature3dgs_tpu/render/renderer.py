@@ -71,12 +71,15 @@ def render_batch(
     bg: jnp.ndarray | None = None,
     config: RasterConfig = RasterConfig(),
     scaling_modifier: float = 1.0,
+    override_opacity: jnp.ndarray | None = None,
 ) -> RasterOutput:
     """Forward-only batched render of B stacked same-resolution views —
     ops.rasterize_batch with the model activations applied once (the
     per-frame preprocess/binning fixed cost amortizes across the batch;
     image fields come back with a leading [B] axis)."""
-    opacity = jnp.where(state.alive, G.get_opacity(params), 0.0)
+    opacity = (override_opacity if override_opacity is not None
+               else G.get_opacity(params))
+    opacity = jnp.where(state.alive, opacity, 0.0)
     return rasterize_batch(
         params.xyz, opacity, G.get_semantic(params), cams,
         scales=G.get_scaling(params), rotations=G.get_rotation(params),

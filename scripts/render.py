@@ -54,6 +54,10 @@ def main(argv=None):
     parser.add_argument("--video", action="store_true")
     parser.add_argument("--multi_interpolate", action="store_true")
     parser.add_argument("--num_views", default=200, type=int)
+    parser.add_argument("--render_batch", default=1, type=int,
+                        help="views per batched render call (amortizes the "
+                             "per-frame preprocess/binning fixed cost; "
+                             "consecutive same-resolution views only)")
     parser.add_argument("--edit_config", default="no editing", type=str)
     parser.add_argument("--text_features", default="", type=str,
                         help=".npy of precomputed CLIP text embeddings for "
@@ -126,6 +130,43 @@ def main(argv=None):
     if edit is not None:
         p_render, op_override = editing.apply_edits(params, text_feats, edit)
 
+    def iter_outputs(cameras):
+        """Yield (idx, cam, per-view output) — sequentially, or through
+        renderer.render_batch over runs of consecutive same-resolution
+        views chunked to --render_batch (tails pad by repeating the last
+        view; padded outputs are discarded). Batched outputs are
+        bit-identical to sequential ones (tests/test_rasterize.py)."""
+        bsz = max(1, args.render_batch)
+        if bsz == 1:
+            for idx, cam in enumerate(cameras):
+                yield idx, cam, render_one(cam.to_view(), p_render,
+                                           op_override)
+            return
+        import jax
+
+        @jax.jit
+        def render_many(p, views):
+            return renderer.render_batch(p, state, views, bg=bg, config=rcfg,
+                                         override_opacity=op_override)
+
+        i, n = 0, len(cameras)
+        while i < n:
+            j = i + 1
+            res = (cameras[i].width, cameras[i].height)
+            while (j < n and j - i < bsz
+                   and (cameras[j].width, cameras[j].height) == res):
+                j += 1
+            group = cameras[i:j]
+            views = [c.to_view() for c in group]
+            views += [views[-1]] * (bsz - len(group))  # static-B padding
+            out = render_many(p_render,
+                              jax.tree.map(lambda *xs: jnp.stack(xs), *views))
+            for k, cam in enumerate(group):
+                one = type(out)(*[(v[k] if v is not None else None)
+                                  for v in out])
+                yield i + k, cam, one
+            i = j
+
     def render_set(name, cameras):
         base = os.path.join(mcfg.model_path, name,
                             f"ours_{iteration}{edit_suffix}")
@@ -134,8 +175,7 @@ def main(argv=None):
                  "saved_feature")}
         for d in dirs.values():
             os.makedirs(d, exist_ok=True)
-        for idx, cam in enumerate(cameras):
-            out = render_one(cam.to_view(), p_render, op_override)
+        for idx, cam, out in iter_outputs(cameras):
             stem = f"{idx:05d}"
             save_png(os.path.join(dirs["renders"], stem + ".png"), out.color)
             if cam.image is not None:

@@ -166,6 +166,46 @@ def test_cli_segmentation_from_rendered_features(pipeline, tmp_path):
     assert any(o.endswith(".png") for o in outs), outs
 
 
+def test_cli_render_batch_matches_sequential(pipeline):
+    """scripts/render.py --render_batch N reproduces the sequential
+    artifacts: renders to <=1 uint8 step, fp16 feature maps to float
+    tolerance. The batch path itself is bit-identical to rasterize()
+    (tests/test_rasterize.py); the CLI runs it under jit, whose fusion
+    (FMA contraction) perturbs the last ulp vs the sequential eager path.
+    Exercises an uneven tail (5 train views at batch 3 -> one full group
+    + one padded group)."""
+    from PIL import Image
+    root, model = pipeline
+
+    def snapshot():
+        arrs = {}
+        for sub in ("renders", "saved_feature"):
+            d = os.path.join(model, "train", "ours_200", sub)
+            for n in sorted(os.listdir(d)):
+                if n.endswith(".png"):
+                    arrs[f"{sub}/{n}"] = np.asarray(
+                        Image.open(os.path.join(d, n))).astype(np.int16)
+                elif n.endswith(".npy"):
+                    arrs[f"{sub}/{n}"] = np.load(
+                        os.path.join(d, n)).astype(np.float32)
+        return arrs
+
+    before = snapshot()
+    assert before
+    import scripts.render as render_cli
+    render_cli.main(["-m", model, "--iteration", "200", "--render_batch", "3",
+                     "--skip_test"])
+    after = snapshot()
+    assert after.keys() == before.keys()
+    for key, a in before.items():
+        b = after[key]
+        if key.endswith(".png"):
+            assert np.abs(a - b).max() <= 1, key
+        else:
+            np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3,
+                                       err_msg=key)
+
+
 def test_cli_mesh_batched_training(tmp_path_factory):
     """scripts/train.py --mesh DxT --cameras_per_step B end-to-end on the
     virtual device mesh: trains, densifies, saves a loadable PLY."""
