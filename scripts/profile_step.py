@@ -22,6 +22,45 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+
+def load_hlo_metadata(dump_dir):
+    """Map HLO instruction names -> (opcode, op_name metadata, source) from
+    the dumped *after_optimizations* text modules. Profile span names are
+    the instruction names (fusion.N, copy.N, ...), so this turns the span
+    table into a source-attributed budget without hand-grepping."""
+    import re
+    meta = {}
+    pat = re.compile(
+        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*[^=]*?\b([a-z][\w\-]*)\(")
+    mpat = re.compile(
+        r'metadata=\{([^}]*)\}')
+    fpat = re.compile(r'op_name="([^"]*)"')
+    spat = re.compile(r'source_file="([^"]*)"')
+    lpat = re.compile(r'source_line=(\d+)')
+    for path in sorted(glob.glob(
+            os.path.join(dump_dir, "*after_optimizations*.txt"))):
+        with open(path, errors="replace") as fh:
+            for line in fh:
+                m = pat.match(line)
+                if not m:
+                    continue
+                name, opcode = m.groups()
+                md = mpat.search(line)
+                op_name = src = ""
+                if md:
+                    body = md.group(1)
+                    f = fpat.search(body)
+                    op_name = f.group(1) if f else ""
+                    sf = spat.search(body)
+                    sl = lpat.search(body)
+                    if sf:
+                        src = (os.path.basename(sf.group(1))
+                               + (f":{sl.group(1)}" if sl else ""))
+                # keep the richest entry if a name repeats across modules
+                if name not in meta or (op_name and not meta[name][1]):
+                    meta[name] = (opcode, op_name, src)
+    return meta
+
 def main(argv=None):
     ap = ArgumentParser()
     ap.add_argument("--f_dim", type=int, default=128)
@@ -48,6 +87,7 @@ def main(argv=None):
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + f" --xla_dump_to={args.dump_hlo}"
                                    " --xla_dump_hlo_as_text")
+
 
     import functools
     import math
@@ -127,10 +167,19 @@ def main(argv=None):
         rows.append((float(np.median(durs)), len(durs), name))
     rows.sort(reverse=True)
     total = rows[0][0] / 1000.0
+    hlo_meta = load_hlo_metadata(args.dump_hlo) if args.dump_hlo else {}
     print(f"\nstep span: {total:.2f} ms  (median over {args.n})")
     print(f"{'med_ms':>9} {'count':>5}  name")
     for med, cnt, name in rows[: args.top]:
-        print(f"{med / 1000.0:9.3f} {cnt:5d}  {name[:110]}")
+        line = f"{med / 1000.0:9.3f} {cnt:5d}  {name[:110]}"
+        # span names are HLO instruction names; attribute them to source
+        info = hlo_meta.get(name) or hlo_meta.get(name.split("/")[-1])
+        if info:
+            opcode, op_name, src = info
+            tail = " | ".join(x for x in (op_name[:70], src) if x)
+            if tail:
+                line += f"\n{'':>17}<- {tail}"
+        print(line)
 
 
 if __name__ == "__main__":
