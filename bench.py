@@ -40,8 +40,19 @@ def main(argv=None):
                     help="semantic channel count (reference configs: 128 "
                          "LSeg-speedup, 256 SAM, 512 LSeg-editing; "
                          "README.md:327-339)")
+    ap.add_argument("--blur_impl", choices=["matmul", "shift"], default=None,
+                    help="SSIM blur backend A/B (losses.BLUR_IMPL)")
+    ap.add_argument("--resize_impl", choices=["matmul", "blocked"],
+                    default=None,
+                    help="feature-resize backend A/B (losses.RESIZE_IMPL)")
     args = ap.parse_args(argv)
     F_DIM = args.f_dim
+    if args.blur_impl or args.resize_impl:
+        from feature3dgs_tpu.train import losses as _L
+        if args.blur_impl:
+            _L.BLUR_IMPL = args.blur_impl
+        if args.resize_impl:
+            _L.RESIZE_IMPL = args.resize_impl
     import jax
     import jax.numpy as jnp
     from feature3dgs_tpu.core import transforms

@@ -47,6 +47,51 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 # 6-pass HIGHEST. Flip to HIGHEST for bit-tight debugging.
 SEPARABLE_PRECISION = jax.lax.Precision.HIGH
 
+# SSIM blur backend. "matmul": banded dense operators on the MXU (the
+# round-1 design). "shift": window_size static scaled shifts per axis —
+# pure-f32 elementwise (MORE exact than the 3-pass HIGH matmul), HBM-bound
+# at ~0.2 ms/blur vs the matmul's ~11.8 GFLOP/blur at the bench image
+# (docs/tpu_notes.md Ideas). Captured at trace time; flip via
+# F3DGS_BLUR_IMPL or bench.py --blur_impl for the on-chip A/B.
+import os as _os
+
+BLUR_IMPL = _os.environ.get("F3DGS_BLUR_IMPL", "matmul")
+
+
+@functools.lru_cache(maxsize=8)
+def _gaussian_taps(window_size: int, sigma: float) -> tuple:
+    """Per-tap f32 weights, normalized in f64 exactly like _conv1d_matrix
+    (same per-tap rounding, so the two blur impls differ only in
+    accumulation arithmetic, not in the kernel)."""
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma ** 2))
+    g = g / g.sum()
+    return tuple(np.float32(v) for v in g)
+
+
+def _blur_shift(img: jnp.ndarray, window_size: int, sigma: float):
+    """Zero-padded separable gaussian blur as static scaled shifts.
+
+    Exact f32 (ascending-tap FMA accumulation — adding the band's
+    structural zeros in the matmul contributes nothing, so this computes
+    the same sum in full f32 instead of the 3-pass bf16 HIGH
+    decomposition). Static slices fuse as elementwise on TPU — no
+    gathers, no MXU passes."""
+    g = _gaussian_taps(window_size, sigma)
+    half = window_size // 2
+
+    def blur_axis(x, axis):
+        n = x.shape[axis]
+        pad = [(half, half) if i == axis else (0, 0) for i in range(x.ndim)]
+        xp = jnp.pad(x, pad)
+        acc = None
+        for k, gk in enumerate(g):
+            t = gk * jax.lax.slice_in_dim(xp, k, k + n, axis=axis)
+            acc = t if acc is None else acc + t
+        return acc
+
+    return blur_axis(blur_axis(img, 0), 1)
+
 
 def _apply_separable(img: jnp.ndarray, my, mx) -> jnp.ndarray:
     """Apply per-axis [out,in] operators to an HWC image as two plain 2-D
@@ -82,9 +127,12 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM over an HWC image pair (loss_utils.py:33-63)."""
     h, w = img1.shape[:2]
-    by = jnp.asarray(_conv1d_matrix(h, window_size, sigma))
-    bx = jnp.asarray(_conv1d_matrix(w, window_size, sigma))
-    conv = lambda x: _apply_separable(x, by, bx)
+    if BLUR_IMPL == "shift":
+        conv = lambda x: _blur_shift(x, window_size, sigma)
+    else:
+        by = jnp.asarray(_conv1d_matrix(h, window_size, sigma))
+        bx = jnp.asarray(_conv1d_matrix(w, window_size, sigma))
+        conv = lambda x: _apply_separable(x, by, bx)
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
     s1 = conv(img1 * img1) - mu1_sq
@@ -136,6 +184,70 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
     return _apply_separable(img, ry, rx)
 
 
+# Feature-resize backend for the tile-layout hot path. "matmul": the dense
+# reshaped-operator contraction below. "blocked": block-banded factorization
+# — each block of output rows contracts only its ~2-nonzero-wide window of
+# input tile rows, cutting the contraction length ~6x at the bench shapes
+# (87 GF -> ~14 GF fwd+bwd) at the cost of a ~1.3x windowed input copy.
+# Bit-exact vs the dense form (the dropped terms are structural zeros and
+# the window holds every nonzero by construction). Captured at trace time;
+# flip via F3DGS_RESIZE_IMPL or bench.py --resize_impl for the on-chip A/B.
+RESIZE_IMPL = _os.environ.get("F3DGS_RESIZE_IMPL", "matmul")
+
+
+@functools.lru_cache(maxsize=32)
+def _interp_blocks(n_in: int, out_n: int, g_tiles: int, t: int, block: int):
+    """Block-banded form of the padded/reshaped interpolation operator.
+
+    Returns (rblk [nb, block, wg, t] f32, glo [nb] int): output rows in
+    block b contract input tile-rows [glo[b], glo[b]+wg) only. None when
+    blocking cannot shrink the window below the full tile-row count."""
+    r = _interp_matrix(n_in, out_n)                       # [out_n, n_in]
+    r = np.pad(r, [(0, (-out_n) % block), (0, g_tiles * t - n_in)])
+    rt = r.reshape(-1, block, g_tiles, t)
+    nb = rt.shape[0]
+    glo = np.zeros(nb, np.int64)
+    ghi = np.ones(nb, np.int64)
+    for b in range(nb):
+        nz = np.nonzero(np.abs(rt[b]).sum(axis=(0, 2)))[0]
+        if len(nz):
+            glo[b], ghi[b] = nz[0], nz[-1] + 1
+    wg = int((ghi - glo).max())
+    if wg >= g_tiles:
+        return None
+    glo = np.minimum(glo, g_tiles - wg)
+    blocks = np.stack([rt[b][:, glo[b]:glo[b] + wg, :] for b in range(nb)])
+    return blocks.astype(np.float32), glo
+
+
+def _resize_from_tiles_blocked(tiles: jnp.ndarray, grid, out_h: int,
+                               out_w: int, block: int = 64):
+    gy, gx, th, tw = grid.grid_y, grid.grid_x, grid.tile_h, grid.tile_w
+    c = tiles.shape[-1]
+    pr = SEPARABLE_PRECISION
+    x = tiles.reshape(gy, gx, th, tw, c)
+    by = _interp_blocks(grid.height, out_h, gy, th, block)
+    bx = _interp_blocks(grid.width, out_w, gx, tw, block)
+    if by is None or bx is None:   # blocking can't shrink the window
+        return None
+    ryb, gloy = by
+    rxb, glox = bx
+    # static window slices (NOT gathers) of the input tile rows
+    xw = jnp.stack([jax.lax.slice_in_dim(x, int(g), int(g) + ryb.shape[2],
+                                         axis=0) for g in gloy])
+    # [nb, block, wg, th] x [nb, wg, gx, th, tw, C] -> [nb, block, gx, tw, C]
+    t1 = jax.lax.dot_general(jnp.asarray(ryb), xw,
+                             (((2, 3), (1, 3)), ((0,), (0,))), precision=pr)
+    t1 = t1.reshape(-1, gx, tw, c)[:out_h]               # [out_h, gx, tw, C]
+    t1w = jnp.stack([jax.lax.slice_in_dim(t1, int(g), int(g) + rxb.shape[2],
+                                          axis=1) for g in glox])
+    # [nbx, block, wgx, tw] x [nbx, out_h, wgx, tw, C] -> [nbx, block, out_h, C]
+    t2 = jax.lax.dot_general(jnp.asarray(rxb), t1w,
+                             (((2, 3), (2, 3)), ((0,), (0,))), precision=pr)
+    t2 = t2.reshape(-1, out_h, c)[:out_w]
+    return t2.transpose(1, 0, 2)
+
+
 def resize_bilinear_from_tiles(tiles: jnp.ndarray, grid,
                                out_h: int, out_w: int) -> jnp.ndarray:
     """align_corners bilinear resize STRAIGHT from the rasterizer's tile
@@ -154,6 +266,10 @@ def resize_bilinear_from_tiles(tiles: jnp.ndarray, grid,
     if (grid.height, grid.width) == (out_h, out_w):
         from feature3dgs_tpu.ops.rasterize import tiles_to_image
         return tiles_to_image(tiles, grid)  # identity resize: plain assembly
+    if RESIZE_IMPL == "blocked":
+        out = _resize_from_tiles_blocked(tiles, grid, out_h, out_w)
+        if out is not None:
+            return out
     pr = SEPARABLE_PRECISION
     ry = _interp_matrix(grid.height, out_h)       # [out_h, H]
     rx = _interp_matrix(grid.width, out_w)        # [out_w, W]

@@ -179,3 +179,82 @@ def test_resize_from_tile_rows_partials_sum_to_full():
             loc, grid, 18, 25, s * rows_loc, rows_loc, gy_pad))
     got = sum(parts)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_blur_shift_matches_matmul_and_torch():
+    """The shift-add SSIM blur (BLUR_IMPL='shift') must match both the
+    banded-matmul blur and the torch conv2d reference: it is the same
+    zero-padded gaussian, computed in pure f32 instead of MXU passes."""
+    import torch
+    import torch.nn.functional as F
+    rng = np.random.RandomState(3)
+    x = rng.rand(24, 32, 3).astype(np.float32)
+    by = jnp.asarray(L._conv1d_matrix(24, 11, 1.5))
+    bx = jnp.asarray(L._conv1d_matrix(32, 11, 1.5))
+    want = np.asarray(L._apply_separable(jnp.asarray(x), by, bx))
+    got = np.asarray(L._blur_shift(jnp.asarray(x), 11, 1.5))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    g = torch.Tensor([np.exp(-(i - 5) ** 2 / (2 * 1.5 ** 2))
+                      for i in range(11)])
+    g = (g / g.sum()).unsqueeze(1)
+    win = g.mm(g.t()).unsqueeze(0).unsqueeze(0).expand(3, 1, 11, 11)
+    t = torch.tensor(x.transpose(2, 0, 1)).unsqueeze(0)
+    ref = F.conv2d(t, win, padding=5, groups=3)[0].numpy().transpose(1, 2, 0)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_ssim_shift_impl_matches_matmul(monkeypatch):
+    rng = np.random.RandomState(4)
+    a = jnp.asarray(rng.rand(24, 32, 3).astype(np.float32))
+    b = jnp.asarray(np.clip(np.asarray(a)
+                            + rng.randn(24, 32, 3).astype(np.float32) * 0.1,
+                            0, 1))
+    want = float(L.ssim(a, b))
+    monkeypatch.setattr(L, "BLUR_IMPL", "shift")
+    got = float(L.ssim(a, b))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_resize_blocked_matches_dense():
+    """Block-banded resize factorization is exact vs the dense contraction
+    (the dropped terms are structural zeros; every nonzero stays inside its
+    block window by construction), values AND gradients."""
+    import jax
+    from feature3dgs_tpu.ops.binning import TileGrid
+    grid = TileGrid(width=256, height=192, tile_w=16, tile_h=16)  # 12x16
+    rng = np.random.RandomState(5)
+    tiles = jnp.asarray(rng.randn(grid.num_tiles, grid.pixels_per_tile, 6)
+                        .astype(np.float32))
+    for out_h, out_w in ((96, 128), (50, 70), (192, 300)):
+        want = L.resize_bilinear_from_tiles(tiles, grid, out_h, out_w)
+        got = L._resize_from_tiles_blocked(tiles, grid, out_h, out_w,
+                                           block=16)
+        assert got is not None, (out_h, out_w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, err_msg=f"{out_h}x{out_w}")
+    t = jnp.asarray(rng.randn(96, 128, 6).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(jnp.abs(
+        L._resize_from_tiles_blocked(x, grid, 96, 128, block=16) - t)))(tiles)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.abs(
+        L.resize_bilinear_from_tiles(x, grid, 96, 128) - t)))(tiles)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_resize_blocked_dispatch_and_fallback(monkeypatch):
+    """RESIZE_IMPL='blocked' routes through the factorized path at scale and
+    silently falls back to dense when blocking cannot shrink the window
+    (tiny grids)."""
+    from feature3dgs_tpu.ops.binning import TileGrid
+    monkeypatch.setattr(L, "RESIZE_IMPL", "blocked")
+    rng = np.random.RandomState(6)
+    small = TileGrid(width=50, height=35, tile_w=16, tile_h=16)
+    tiles = jnp.asarray(rng.randn(small.num_tiles, small.pixels_per_tile, 4)
+                        .astype(np.float32))
+    want = L._resize_from_tiles_blocked(tiles, small, 19, 23)
+    assert want is None  # 3x4 tile grid: nothing to block
+    out = L.resize_bilinear_from_tiles(tiles, small, 19, 23)  # falls back
+    monkeypatch.setattr(L, "RESIZE_IMPL", "matmul")
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(L.resize_bilinear_from_tiles(tiles, small, 19, 23)),
+        atol=0)
