@@ -70,6 +70,31 @@ def main() -> int:
             d = float(jnp.max(jnp.abs(a - b))) / s
             print(f"[F={f_dim}] grad {name}: rel max diff {d:.2e}")
             ok &= d < 1e-4
+    # batched inference path: the concatenated tile grid + per-image row
+    # wrap must be bit-identical to sequential rasterize() on real Mosaic
+    # (the wrap changed BOTH kernels' tile_y computation)
+    from feature3dgs_tpu.ops import rasterize_batch
+    g = random_gaussians(n=500, f_dim=128, seed=1)
+    cams = [make_camera(width=128, height=96, cam_z=z) for z in (-4.0, -3.2)]
+    cfg_p = RasterConfig(instance_capacity=1 << 13, tile_capacity=1 << 9,
+                         chunk=64, backend="pallas")
+    kwb = dict(scales=g["scales"], rotations=g["rotations"], shs=g["shs"],
+               sh_degree=2, bg=jnp.asarray([0.3, 0.2, 0.1]))
+    singles = [rasterize(g["means3d"], g["opacities"], g["feat"], c,
+                         config=cfg_p, **kwb) for c in cams]
+    batched = rasterize_batch(
+        g["means3d"], g["opacities"], g["feat"],
+        jax.tree.map(lambda *xs: jnp.stack(xs), *cams), config=cfg_p, **kwb)
+    for i, s in enumerate(singles):
+        for field in ("color", "feature", "depth", "alpha", "n_contrib"):
+            a = np.asarray(getattr(batched, field)[i])
+            b = np.asarray(getattr(s, field))
+            d = float(np.max(np.abs(a.astype(np.float64)
+                                    - b.astype(np.float64))))
+            if d != 0.0:
+                print(f"[batch] cam{i}.{field} max diff {d:.2e}")
+                ok = False
+    print("[batch] rasterize_batch == sequential:", "exact" if ok else "DIFF")
     print("TPU smoke", "OK" if ok else "FAILED")
     return 0 if ok else 1
 
