@@ -220,6 +220,20 @@ def _interp_blocks(n_in: int, out_n: int, g_tiles: int, t: int, block: int):
     return blocks.astype(np.float32), glo
 
 
+def _resize_x_blocked(t1: jnp.ndarray, bx) -> jnp.ndarray:
+    """Blocked x-axis interpolation: [out_h, gx, tw, C] -> [out_h, out_w, C].
+    ``bx`` is an _interp_blocks result for the width axis."""
+    out_h, _, _, c = t1.shape
+    rxb, glox = bx
+    t1w = jnp.stack([jax.lax.slice_in_dim(t1, int(g), int(g) + rxb.shape[2],
+                                          axis=1) for g in glox])
+    # [nbx, block, wgx, tw] x [nbx, out_h, wgx, tw, C] -> [nbx, block, out_h, C]
+    t2 = jax.lax.dot_general(jnp.asarray(rxb), t1w,
+                             (((2, 3), (2, 3)), ((0,), (0,))),
+                             precision=SEPARABLE_PRECISION)
+    return t2.reshape(-1, out_h, c)
+
+
 def _resize_from_tiles_blocked(tiles: jnp.ndarray, grid, out_h: int,
                                out_w: int, block: int = 64):
     gy, gx, th, tw = grid.grid_y, grid.grid_x, grid.tile_h, grid.tile_w
@@ -231,7 +245,6 @@ def _resize_from_tiles_blocked(tiles: jnp.ndarray, grid, out_h: int,
     if by is None or bx is None:   # blocking can't shrink the window
         return None
     ryb, gloy = by
-    rxb, glox = bx
     # static window slices (NOT gathers) of the input tile rows
     xw = jnp.stack([jax.lax.slice_in_dim(x, int(g), int(g) + ryb.shape[2],
                                          axis=0) for g in gloy])
@@ -239,12 +252,7 @@ def _resize_from_tiles_blocked(tiles: jnp.ndarray, grid, out_h: int,
     t1 = jax.lax.dot_general(jnp.asarray(ryb), xw,
                              (((2, 3), (1, 3)), ((0,), (0,))), precision=pr)
     t1 = t1.reshape(-1, gx, tw, c)[:out_h]               # [out_h, gx, tw, C]
-    t1w = jnp.stack([jax.lax.slice_in_dim(t1, int(g), int(g) + rxb.shape[2],
-                                          axis=1) for g in glox])
-    # [nbx, block, wgx, tw] x [nbx, out_h, wgx, tw, C] -> [nbx, block, out_h, C]
-    t2 = jax.lax.dot_general(jnp.asarray(rxb), t1w,
-                             (((2, 3), (2, 3)), ((0,), (0,))), precision=pr)
-    t2 = t2.reshape(-1, out_h, c)[:out_w]
+    t2 = _resize_x_blocked(t1, bx)[:out_w]
     return t2.transpose(1, 0, 2)
 
 
@@ -317,6 +325,13 @@ def resize_bilinear_from_tile_rows(tiles_local: jnp.ndarray, grid,
     x = tiles_local.reshape(rows_loc, gx, th, tw, c)
     t1 = jax.lax.dot_general(ryt_loc, x, (((1, 2), (0, 2)), ((), ())),
                              precision=pr)        # [out_h, gx, tw, C]
+    if RESIZE_IMPL == "blocked":
+        # y-axis already shards with the tile rows (rows_loc per device);
+        # the width contraction is the dense-FLOPs side — block it. The
+        # traced row0 never enters the static x-axis windows.
+        bx = _interp_blocks(grid.width, out_w, gx, tw, 64)
+        if bx is not None:
+            return _resize_x_blocked(t1, bx)[:out_w].transpose(1, 0, 2)
     t2 = jax.lax.dot_general(rxt, t1, (((1, 2), (1, 2)), ((), ())),
                              precision=pr)        # [out_w, out_h, C]
     return t2.transpose(1, 0, 2)
