@@ -908,6 +908,22 @@ def live_row_threshold(tile_starts, tile_counts, ncontrib, l_cap: int,
     return jax.lax.cummax(thresh0)
 
 
+def decode_forward_outputs(out_misc, out_feat, f_dim: int):
+    """Slice (color, feature, depth) from the kernel's layout-dependent
+    outputs — split channel-major ([T,8,P] misc + [T,P,C_feat]) vs the
+    one-lane-tile layout ([T,P,128] holds everything). Single source of
+    truth for the lane map shared by the custom-vjp path (_cp_fwd) and the
+    batched inference path (ops.rasterize.rasterize_batch)."""
+    if out_feat is not None:
+        return (out_misc[:, 0:3, :].transpose(0, 2, 1),
+                out_feat[:, :, 0:f_dim],
+                out_misc[:, 3, :])
+    fo = feat_offset(f_dim)
+    return (out_misc[:, :, CH_OFF:CH_OFF + 3],
+            out_misc[:, :, fo:fo + f_dim],
+            out_misc[:, :, CH_OFF + 3])
+
+
 class PallasCompositeOutput(NamedTuple):
     color: jnp.ndarray      # [T, P, 3]
     feature: jnp.ndarray    # [T, P, F]
@@ -971,7 +987,6 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
             interpret, tiles_per_program=8):
     rgb, feat = rgbfeat
     f_dim = feat.shape[-1]
-    fo = feat_offset(f_dim)
     slab, seg_ids = pack_instances(
         gid_sorted, xy, conic, opacity, rgb, feat, depth)
     out_misc, out_feat, finalt, ncontrib = forward(
@@ -980,15 +995,7 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
         tiles_per_program=tiles_per_program)
     res = (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
            xy.shape[0], f_dim, tile_base)
-    if out_feat is not None:
-        # split layout: out_misc is channel-major [T,8,P]
-        color = out_misc[:, 0:3, :].transpose(0, 2, 1)
-        depth = out_misc[:, 3, :]
-        feature = out_feat[:, :, 0:f_dim]
-    else:
-        color = out_misc[:, :, CH_OFF:CH_OFF + 3]
-        depth = out_misc[:, :, CH_OFF + 3]
-        feature = out_misc[:, :, fo:fo + f_dim]
+    color, feature, depth = decode_forward_outputs(out_misc, out_feat, f_dim)
     return PallasCompositeOutput(
         color=color,
         feature=feature,

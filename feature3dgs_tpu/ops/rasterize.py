@@ -119,6 +119,36 @@ def mark_visible(means3d: jnp.ndarray, cam: proj_lib.CameraView) -> jnp.ndarray:
     return in_frustum
 
 
+def _prep_view(means3d, opacities, cam, grid, *, scales, rotations,
+               cov3d_precomp, shs, sh_degree, colors_precomp, scale_modifier,
+               ndc_offset, active_mask):
+    """Shared per-view preprocess + tile-rect cull for rasterize /
+    rasterize_batch. Returns (pre, xy, rect_min, rect_max, valid)."""
+    pre = proj_lib.preprocess(
+        means3d, opacities, cam,
+        scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+        shs=shs, sh_degree=sh_degree, colors_precomp=colors_precomp,
+        scale_modifier=scale_modifier)
+
+    xy = pre.xy
+    if ndc_offset is not None:
+        # Densification gradient hook: offset enters through the same
+        # NDC->pixel scaling as the mean, so d(loss)/d(ndc_offset) equals the
+        # reference's viewspace_points.grad (train.py:133, backward.cu:493).
+        wh = jnp.asarray([cam.width, cam.height], xy.dtype)
+        xy = xy + ndc_offset * wh * 0.5
+
+    rect_min, rect_max = proj_lib.tile_rect(
+        xy, pre.radius, grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    if active_mask is not None:
+        # Dead capacity-padding slots (model.GaussianState.alive) are culled
+        # before binning so they cost no compositing work.
+        valid = valid & active_mask
+    return pre, xy, rect_min, rect_max, valid
+
+
 def rasterize(
     means3d: jnp.ndarray,
     opacities: jnp.ndarray,
@@ -149,28 +179,11 @@ def rasterize(
     if bg is None:
         bg = jnp.zeros((3,), means3d.dtype)
 
-    pre = proj_lib.preprocess(
-        means3d, opacities, cam,
-        scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
-        shs=shs, sh_degree=sh_degree, colors_precomp=colors_precomp,
-        scale_modifier=scale_modifier)
-
-    xy = pre.xy
-    if ndc_offset is not None:
-        # Densification gradient hook: offset enters through the same
-        # NDC->pixel scaling as the mean, so d(loss)/d(ndc_offset) equals the
-        # reference's viewspace_points.grad (train.py:133, backward.cu:493).
-        wh = jnp.asarray([cam.width, cam.height], xy.dtype)
-        xy = xy + ndc_offset * wh * 0.5
-
-    rect_min, rect_max = proj_lib.tile_rect(
-        xy, pre.radius, grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
-    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
-    valid = pre.valid & (area > 0)
-    if active_mask is not None:
-        # Dead capacity-padding slots (model.GaussianState.alive) are culled
-        # before binning so they cost no compositing work.
-        valid = valid & active_mask
+    pre, xy, rect_min, rect_max, valid = _prep_view(
+        means3d, opacities, cam, grid, scales=scales, rotations=rotations,
+        cov3d_precomp=cov3d_precomp, shs=shs, sh_degree=sh_degree,
+        colors_precomp=colors_precomp, scale_modifier=scale_modifier,
+        ndc_offset=ndc_offset, active_mask=active_mask)
 
     backend = config.backend
     if backend == "auto":
@@ -238,7 +251,10 @@ def rasterize_batch(
 
     ``cams`` is a stacked CameraView (array fields [B,...], shared static
     width/height). Returns a RasterOutput whose image fields have a leading
-    [B] axis. Forward-only — no custom VJP is wired for the batched tile
+    [B] axis; the capacity-overflow counters total_instances /
+    max_tile_count are PER-CAMERA [B] arrays here (scalars in rasterize()'s
+    contract) — hosts should compare their max() against the config
+    capacities. Forward-only — no custom VJP is wired for the batched tile
     list; training batches over the data axis instead (parallel/sharded.py).
 
     Rather than vmapping the whole pipeline (a Pallas kernel under vmap
@@ -262,19 +278,12 @@ def rasterize_batch(
         bg = jnp.zeros((3,), means3d.dtype)
 
     def _pre(cam):
-        pre = proj_lib.preprocess(
-            means3d, opacities, cam,
-            scales=scales, rotations=rotations,
-            shs=shs, sh_degree=sh_degree, colors_precomp=colors_precomp,
-            scale_modifier=scale_modifier)
-        rect_min, rect_max = proj_lib.tile_rect(
-            pre.xy, pre.radius, grid.grid_x, grid.grid_y,
-            grid.tile_w, grid.tile_h)
-        area = ((rect_max[:, 0] - rect_min[:, 0])
-                * (rect_max[:, 1] - rect_min[:, 1]))
-        valid = pre.valid & (area > 0)
-        if active_mask is not None:
-            valid = valid & active_mask
+        pre, _, rect_min, rect_max, valid = _prep_view(
+            means3d, opacities, cam, grid, scales=scales,
+            rotations=rotations, cov3d_precomp=None, shs=shs,
+            sh_degree=sh_degree, colors_precomp=colors_precomp,
+            scale_modifier=scale_modifier, ndc_offset=None,
+            active_mask=active_mask)
         return pre, rect_min, rect_max, valid
 
     pre, rect_min, rect_max, valid = jax.vmap(_pre)(cams)
@@ -309,16 +318,8 @@ def rasterize_batch(
             slab.reshape(b_cams * stride, slab.shape[-1]), grid,
             k_chunk=k_chunk, interpret=backend == "pallas_interpret",
             tiles_per_program=config.tiles_per_program)
-        f_dim = semantic_features.shape[-1]
-        if out_feat is not None:  # split layout (see pallas_raster._cp_fwd)
-            color = out_misc[:, 0:3, :].transpose(0, 2, 1)
-            depth_t = out_misc[:, 3, :]
-            feature = out_feat[:, :, 0:f_dim]
-        else:
-            fo = pallas_raster.feat_offset(f_dim)
-            color = out_misc[:, :, pallas_raster.CH_OFF:pallas_raster.CH_OFF + 3]
-            depth_t = out_misc[:, :, pallas_raster.CH_OFF + 3]
-            feature = out_misc[:, :, fo:fo + f_dim]
+        color, feature, depth_t = pallas_raster.decode_forward_outputs(
+            out_misc, out_feat, semantic_features.shape[-1])
         t_tiles = grid.num_tiles
         per_cam = lambda x: x.reshape((b_cams, t_tiles) + x.shape[1:])
         color, feature, depth_t, finalt, ncontrib = map(

@@ -37,8 +37,13 @@ def load_hlo_metadata(dump_dir):
     fpat = re.compile(r'op_name="([^"]*)"')
     spat = re.compile(r'source_file="([^"]*)"')
     lpat = re.compile(r'source_line=(\d+)')
-    for path in sorted(glob.glob(
-            os.path.join(dump_dir, "*after_optimizations*.txt"))):
+    # instruction names (fusion.N, ...) are per-module namespaces: process
+    # modules smallest-first so the largest module (the train step, the one
+    # whose spans dominate the profile) wins name collisions
+    paths = sorted(glob.glob(
+        os.path.join(dump_dir, "*after_optimizations*.txt")),
+        key=os.path.getsize)
+    for path in paths:
         with open(path, errors="replace") as fh:
             for line in fh:
                 m = pat.match(line)
@@ -56,8 +61,8 @@ def load_hlo_metadata(dump_dir):
                     if sf:
                         src = (os.path.basename(sf.group(1))
                                + (f":{sl.group(1)}" if sl else ""))
-                # keep the richest entry if a name repeats across modules
-                if name not in meta or (op_name and not meta[name][1]):
+                # last-wins: the largest module overwrites smaller ones
+                if name not in meta or op_name:
                     meta[name] = (opcode, op_name, src)
     return meta
 
@@ -84,6 +89,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.dump_hlo:
         os.makedirs(args.dump_hlo, exist_ok=True)
+        for stale in glob.glob(os.path.join(args.dump_hlo, "*.txt")):
+            os.remove(stale)  # a reused dir must not attribute old modules
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + f" --xla_dump_to={args.dump_hlo}"
                                    " --xla_dump_hlo_as_text")

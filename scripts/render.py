@@ -130,11 +130,23 @@ def main(argv=None):
     if edit is not None:
         p_render, op_override = editing.apply_edits(params, text_feats, edit)
 
+    import jax
+
+    @jax.jit
+    def render_many(p, views):
+        # module-scope jit: one trace cache across train/test/novel/video
+        # sets (a per-set closure would pay the multi-minute tunnel compile
+        # once per set at identical resolutions)
+        return renderer.render_batch(p, state, views, bg=bg, config=rcfg,
+                                     override_opacity=op_override)
+
     def iter_outputs(cameras):
         """Yield (idx, cam, per-view output) — sequentially, or through
         renderer.render_batch over runs of consecutive same-resolution
         views chunked to --render_batch (tails pad by repeating the last
-        view; padded outputs are discarded). Batched outputs are
+        view; padded outputs are discarded; singleton runs — e.g. scenes
+        with per-image resolutions — fall back to the sequential render
+        instead of paying bsz-fold padded work). Batched outputs are
         bit-identical to sequential ones (tests/test_rasterize.py)."""
         bsz = max(1, args.render_batch)
         if bsz == 1:
@@ -142,13 +154,7 @@ def main(argv=None):
                 yield idx, cam, render_one(cam.to_view(), p_render,
                                            op_override)
             return
-        import jax
-
-        @jax.jit
-        def render_many(p, views):
-            return renderer.render_batch(p, state, views, bg=bg, config=rcfg,
-                                         override_opacity=op_override)
-
+        max_inst = 0
         i, n = 0, len(cameras)
         while i < n:
             j = i + 1
@@ -157,6 +163,11 @@ def main(argv=None):
                    and (cameras[j].width, cameras[j].height) == res):
                 j += 1
             group = cameras[i:j]
+            if len(group) == 1:
+                yield i, group[0], render_one(group[0].to_view(), p_render,
+                                              op_override)
+                i = j
+                continue
             views = [c.to_view() for c in group]
             views += [views[-1]] * (bsz - len(group))  # static-B padding
             out = render_many(p_render,
@@ -165,7 +176,16 @@ def main(argv=None):
                 one = type(out)(*[(v[k] if v is not None else None)
                                   for v in out])
                 yield i + k, cam, one
+            # counters are per-camera [B] in the batch contract; the read is
+            # ~free here — the save path already synced these outputs
+            max_inst = max(max_inst, int(np.max(np.asarray(
+                out.total_instances))))
             i = j
+        cap = rcfg.instance_capacity_or_default
+        if max_inst > cap:
+            print(f"[warn] instance overflow in batched render: {max_inst} "
+                  f"> capacity {cap} — farthest splats were dropped; rerun "
+                  f"with a larger --instance_capacity")
 
     def render_set(name, cameras):
         base = os.path.join(mcfg.model_path, name,
