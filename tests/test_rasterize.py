@@ -226,3 +226,37 @@ def test_rasterize_batch_matches_sequential(backend):
             a = np.asarray(getattr(batched, field)[i])
             b = np.asarray(getattr(s, field))
             np.testing.assert_array_equal(a, b, err_msg=f"cam{i}.{field}")
+
+
+def test_render_batch_override_opacity_matches_sequential():
+    """renderer.render_batch(override_opacity=...) — the batched editing
+    path (scripts/render.py --edit_config + --render_batch) — matches
+    per-view renderer.render with the same override."""
+    from feature3dgs_tpu.model import gaussians as G
+    from feature3dgs_tpu.render import renderer
+    import dataclasses
+
+    rng = np.random.RandomState(11)
+    n, cap, f_dim = 60, 64, 4
+    params, state = G.create_from_pcd(
+        rng.uniform(-1.5, 1.5, (n, 3)).astype(np.float32),
+        rng.rand(n, 3).astype(np.float32), max_sh_degree=2,
+        feature_dim=f_dim, capacity=cap)
+    params = params.replace(semantic_feature=jnp.asarray(
+        rng.randn(cap, 1, f_dim).astype(np.float32)))
+    state = state.replace(active_sh_degree=2)
+    override = jnp.asarray(rng.rand(cap).astype(np.float32))
+    cams = [make_camera(width=W, height=H, cam_z=z) for z in (-4.0, -3.0)]
+    cfg = dataclasses.replace(CFG, backend="xla")
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    batched = renderer.render_batch(
+        params, state, jax.tree.map(lambda *xs: jnp.stack(xs), *cams),
+        bg=bg, config=cfg, override_opacity=override)
+    for i, cam in enumerate(cams):
+        single = renderer.render(params, state, cam, bg=bg, config=cfg,
+                                 override_opacity=override)
+        np.testing.assert_array_equal(np.asarray(batched.color[i]),
+                                      np.asarray(single.color))
+        np.testing.assert_array_equal(np.asarray(batched.feature[i]),
+                                      np.asarray(single.feature))
