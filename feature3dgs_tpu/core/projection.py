@@ -113,15 +113,37 @@ def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray, scale_modifier=1.0)
         s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22], axis=-1)
 
 
+def _affine_row(p: jnp.ndarray, m: jnp.ndarray, row) -> jnp.ndarray:
+    """p @ m[row, :3] + m[row, 3], written elementwise.
+
+    The contraction dim is 3, so a matmul buys nothing — and costs
+    correctness-stability: under vmap (rasterize_batch) XLA lowers the
+    batched [B,N,3]x[B,3,4] form onto the MXU in bf16 (DEFAULT precision),
+    which drifted projected pixel coords by up to 0.2 px vs the single-view
+    lowering on v5e (round-3 bisect). Elementwise mul/add is exact f32 and
+    bit-identical under any batching. ``m`` may carry leading batch dims
+    ([..., 4, 4]); broadcasting against p's [..., N] keeps it elementwise.
+    """
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    m = m[..., row, :]  # [..., 4]; unsqueeze entries to broadcast over N
+    m0, m1, m2, m3 = (m[..., i][..., None] for i in range(4))
+    return x * m0 + y * m1 + z * m2 + m3
+
+
+def _affine3(p: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """First three rows of the affine transform, stacked [..., N, 3]."""
+    return jnp.stack([_affine_row(p, m, r) for r in range(3)], axis=-1)
+
+
 def project_points(means3d: jnp.ndarray, cam: CameraView):
     """Project means: view-space point, NDC, pixel coords.
 
     Returns (p_view [N,3], p_ndc [N,3], in_front [N] bool).
     Reference: auxiliary.h:145-170 (in_frustum), forward.cu:196-199.
     """
-    pv = means3d @ cam.view[:3, :3].T + cam.view[:3, 3]
-    ph = means3d @ cam.proj[:3, :3].T + cam.proj[:3, 3]
-    pw = means3d @ cam.proj[3, :3] + cam.proj[3, 3]
+    pv = _affine3(means3d, cam.view)
+    ph = _affine3(means3d, cam.proj)
+    pw = _affine_row(means3d, cam.proj, 3)
     inv_w = 1.0 / (pw + 1e-7)
     p_ndc = ph * inv_w[:, None]
     return pv, p_ndc, pv[:, 2] > 0.2
@@ -142,7 +164,7 @@ def compute_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, cam: CameraView) -> 
     y_grad_mul in backward.cu:175-176 (jnp.clip has zero gradient where
     saturated).
     """
-    t = means3d @ cam.view[:3, :3].T + cam.view[:3, 3]
+    t = _affine3(means3d, cam.view)  # elementwise: see _affine_row
     tz = t[:, 2]
     limx = 1.3 * cam.tan_fovx
     limy = 1.3 * cam.tan_fovy

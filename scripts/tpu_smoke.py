@@ -85,13 +85,21 @@ def main() -> int:
     batched = rasterize_batch(
         g["means3d"], g["opacities"], g["feat"],
         jax.tree.map(lambda *xs: jnp.stack(xs), *cams), config=cfg_p, **kwb)
+    # Geometry/transmittance must be BIT-identical; color alone tolerates
+    # ~1 ulp: sh_to_rgb under vmap picks up different XLA FMA fusions than
+    # the single-view lowering on TPU (measured exactly 1.19e-7 = 2^-23 in
+    # the round-3 bisect; not controllable from JAX). Everything alpha-
+    # deciding (xy/conic/opacity) is elementwise-exact by construction
+    # (core/projection.py _affine_row), so n_contrib/alpha/depth/feature
+    # stay exact.
     for i, s in enumerate(singles):
-        for field in ("color", "feature", "depth", "alpha", "n_contrib"):
+        for field, tol in (("color", 1e-6), ("feature", 0.0), ("depth", 0.0),
+                           ("alpha", 0.0), ("n_contrib", 0.0)):
             a = np.asarray(getattr(batched, field)[i])
             b = np.asarray(getattr(s, field))
             d = float(np.max(np.abs(a.astype(np.float64)
                                     - b.astype(np.float64))))
-            if d != 0.0:
+            if d > tol:
                 print(f"[batch] cam{i}.{field} max diff {d:.2e}")
                 ok = False
     print("[batch] rasterize_batch == sequential:", "exact" if ok else "DIFF")
