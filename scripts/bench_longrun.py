@@ -74,6 +74,9 @@ def main(argv=None):
     ap.add_argument("--sync_every", type=int, default=10)
     ap.add_argument("--densify_interval", type=int, default=100)
     args = ap.parse_args(argv)
+    if args.warmup <= 2 * args.densify_interval:
+        ap.error("--warmup must exceed 2*--densify_interval so the "
+                 "first-densify compile lands before the measured region")
 
     import jax
     from feature3dgs_tpu.ops import RasterConfig
@@ -118,13 +121,15 @@ def main(argv=None):
             for k in range(i0, i1))
         spans.append((i1, ms_it, has_densify))
 
+    if not spans:
+        sys.exit("warmup >= iters: nothing measured")
     clean = sorted(ms for _, ms, d in spans if not d)
     dirty = sorted(ms for _, ms, d in spans if d)
     in_window = clean[len(clean) // 2] if clean else float("nan")
-    total_it = spans[-1][0] - args.warmup
-    overall = (sync_marks[-1][1]
-               - next(t for i, t in sync_marks if i >= args.warmup)
-               ) * 1000.0 / total_it
+    # anchor numerator and denominator to the SAME first mark past warmup
+    i_base, t_base = next((i, t) for i, t in sync_marks if i >= args.warmup)
+    total_it = spans[-1][0] - i_base
+    overall = (sync_marks[-1][1] - t_base) * 1000.0 / total_it
     print(json.dumps({
         "metric": "long-run wall ms/it vs in-window ms/it",
         "value": round(overall / in_window, 3),

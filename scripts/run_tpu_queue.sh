@@ -42,5 +42,10 @@ TMO=2400 run python scripts/profile_step.py --f_dim 512 --top 30 --dump_hlo /tmp
 TMO=2400 run python scripts/bench_render.py --batch 1 --f_dims 128
 TMO=2400 run python scripts/bench_render.py --batch 4 --f_dims 128
 
+# 8. Long-run wall-vs-window ratio (round-3 dispatch-only maintenance fix;
+#    VERDICT target <= 1.2x)
+TMO=3600 run python scripts/bench_longrun.py --iters 1200 --warmup 500 \
+    --sync_every 10 --densify_interval 100
+
 echo "=== queue done: $LOG ==="
 tail -5 "$LOG"

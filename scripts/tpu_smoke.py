@@ -102,7 +102,8 @@ def main() -> int:
             if d > tol:
                 print(f"[batch] cam{i}.{field} max diff {d:.2e}")
                 ok = False
-    print("[batch] rasterize_batch == sequential:", "exact" if ok else "DIFF")
+    print("[batch] rasterize_batch == sequential:",
+          "within tol (color 1e-6, rest exact)" if ok else "DIFF")
     print("TPU smoke", "OK" if ok else "FAILED")
     return 0 if ok else 1
 
