@@ -27,6 +27,7 @@ cross-host agreement is over jitted array programs, never filenames.
 """
 from __future__ import annotations
 
+import functools
 import random
 
 import jax
@@ -51,23 +52,23 @@ class MultiHostTrainer(DistributedTrainer):
 
     def __init__(self, scene: SceneData, *, mesh: jax.sharding.Mesh,
                  cameras_per_step: int | None = None, **kwargs):
-        if kwargs.get("shard_gaussians"):
-            raise NotImplementedError(
-                "Gaussian-axis sharding is not supported with the "
-                "multi-host trainer yet: its host-side state surgery "
-                "(capacity growth, checkpoint restore) round-trips through "
-                "fully-addressable host arrays, which a cross-process "
-                "row-sharded TrainState is not. Use --shard_gaussians with "
-                "the single-controller --mesh path.")
-        super().__init__(scene, mesh=mesh,
-                         cameras_per_step=cameras_per_step, **kwargs)
+        # Until the end of __init__ the TrainState is host/process-local;
+        # the _grow_params/_place_state overrides below stay in host mode
+        # while this is False and the global placement happens exactly once.
+        self._mh_global = False
         self._replicated = NamedSharding(mesh, P())
         self._data_sharded = NamedSharding(mesh, P("data"))
-        # Re-materialize the TrainState as replicated GLOBAL arrays spanning
-        # the whole (possibly multi-process) mesh. device_get -> device_put
-        # is cheap at init time and works from every process because the
-        # state is constructed deterministically (same seed) everywhere.
-        self.ts = jax.device_put(jax.device_get(self.ts), self._replicated)
+        super().__init__(scene, mesh=mesh,
+                         cameras_per_step=cameras_per_step, **kwargs)
+        # Re-materialize the TrainState as GLOBAL arrays spanning the whole
+        # (possibly multi-process) mesh: capacity-leading rows sharded over
+        # all devices when shard_gaussians, everything replicated otherwise.
+        # jax.device_put of host numpy slices process-locally, so this works
+        # from every controller — the state is constructed deterministically
+        # (same seed) everywhere.
+        host_ts = jax.device_get(self.ts)
+        self._mh_global = True
+        self.ts = self._pin(host_ts)
         self.bg = jax.device_put(np.asarray(self.bg), self._replicated)
 
         # Per-data-row camera stripes + per-row RNGs: row d samples
@@ -92,22 +93,49 @@ class MultiHostTrainer(DistributedTrainer):
         # rows this PROCESS owns (whose images/fmaps it must have on disk)
         self._local_rows = sorted({
             _row_of_device(mesh, dev) for dev in mesh.local_devices})
-        # Byte-budgeted LRU caches (reuse the Trainer's gt_cache_bytes
-        # knob, --gt_cache_mb): epoch reshuffling makes batch keys
-        # essentially unique, so unbounded caches OOM device HBM within a
-        # few epochs at reference-scale LSeg maps (100-200 MB/view).
+        # Byte-budgeted host LRU (reuse the Trainer's gt_cache_bytes knob,
+        # --gt_cache_mb): epoch reshuffling makes batch keys essentially
+        # unique, so an unbounded cache OOMs within a few epochs at
+        # reference-scale LSeg maps (100-200 MB/view). Keyed per camera
+        # uid; the batch-level device arrays are rebuilt every step (a
+        # batch-keyed device LRU held only dead arrays, round-3 VERDICT).
         import collections
         self._host_gt_cache: "collections.OrderedDict" = \
             collections.OrderedDict()
         self._host_gt_bytes = 0
-        self._global_gt_cache: "collections.OrderedDict" = \
-            collections.OrderedDict()
-        self._global_gt_bytes = 0
+
+    # -- state placement / restore -----------------------------------------
+
+    def _pin(self, ts):
+        """Place a state tree (host numpy or global arrays) onto this
+        trainer's shardings: capacity-leading leaves row-sharded when
+        shard_gaussians, everything else replicated. jax>=0.9 device_put
+        handles both numpy->global and global->global cross-process."""
+        if self.shard_gaussians:
+            return self._place_state(ts)
+        return jax.device_put(ts, self._replicated)
+
+    def _place_state(self, ts):
+        if not self._mh_global:
+            return ts  # __init__-time: placement happens once at the end
+        return super()._place_state(ts)
+
+    def restore_state(self, ts) -> None:
+        """Adopt a restored host-side TrainState as global arrays (capacity
+        rounded up to a device multiple when gaussian-sharded). Every
+        process must call this with the same checkpoint."""
+        host_ts = jax.device_get(ts)
+        if self.shard_gaussians:
+            cap = host_ts.params.capacity
+            new_cap = -(-cap // self._cap_mult) * self._cap_mult
+            if new_cap > cap:
+                host_ts = _host_pad_state(host_ts, cap, new_cap)
+        self.ts = self._pin(host_ts)
 
     def replicate_state(self, ts):
-        """Re-materialize a (restored) TrainState as replicated global
-        arrays over this trainer's mesh."""
-        return jax.device_put(jax.device_get(ts), self._replicated)
+        """Back-compat alias of restore_state (returns the placed state)."""
+        self.restore_state(ts)
+        return self.ts
 
     # -- camera schedule ---------------------------------------------------
 
@@ -169,14 +197,9 @@ class MultiHostTrainer(DistributedTrainer):
 
     def _global_batch(self, uids: list[int]):
         """Build the [B,...] global arrays for a batch, uploading only the
-        data rows this process owns. Batches are LRU-cached under the byte
-        budget (epoch reshuffling makes exact repeats rare — the cache
-        mainly serves fixed-order parity tests and tiny scenes)."""
-        key = tuple(uids)
-        entry = self._global_gt_cache.get(key)
-        if entry is not None:
-            self._global_gt_cache.move_to_end(key)
-            return entry
+        data rows this process owns. Rebuilt every step from the uid-keyed
+        host cache: a batch-keyed device LRU would hold only dead arrays
+        (epoch reshuffling makes exact batch repeats rare)."""
         views = [self.scene.train_cameras[uid].to_view() for uid in uids]
         # Batch position k belongs to data row k % n_data, but P('data')
         # shards axis 0 in contiguous blocks — permute the batch to
@@ -204,20 +227,7 @@ class MultiHostTrainer(DistributedTrainer):
             for k, f in (("view", "view"), ("proj", "proj"),
                          ("campos", "campos"), ("tan_fovx", "tan_fovx"),
                          ("tan_fovy", "tan_fovy"))}
-        # local-shard bytes actually held on this process's devices
-        nbytes = sum(s.data.nbytes for s in gt_images.addressable_shards)
-        nbytes += sum(s.data.nbytes for s in gt_features.addressable_shards)
-        out = (cam_arrays, gt_images, gt_features)
-        self._global_gt_cache[key] = out
-        self._global_gt_bytes += nbytes
-        if self.gt_cache_bytes is not None:
-            while (self._global_gt_bytes > self.gt_cache_bytes
-                   and len(self._global_gt_cache) > 2):
-                _, (_, gi, gf) = self._global_gt_cache.popitem(last=False)
-                self._global_gt_bytes -= (
-                    sum(s.data.nbytes for s in gi.addressable_shards)
-                    + sum(s.data.nbytes for s in gf.addressable_shards))
-        return out
+        return cam_arrays, gt_images, gt_features
 
     # -- step: DistributedTrainer.step with multi-host batch assembly ------
 
@@ -239,24 +249,56 @@ class MultiHostTrainer(DistributedTrainer):
         return np.asarray(sub), np.float32(self.extent)
 
     def _grow_params(self, new_cap: int) -> None:
-        """Capacity growth via a host round-trip: eager jnp.concatenate on
-        cross-process global arrays is not executable, so pad in numpy and
-        re-shard. Rare (capacities are 2^k-bucketed). Every process reaches
+        """Capacity growth in a lockstep jitted program over the GLOBAL
+        state (a row-sharded cross-process TrainState is not fully
+        addressable, so no host round-trip is possible — and none is
+        needed). Rare (capacities are 2^k-bucketed); every process reaches
         the same decision from the same replicated report scalars."""
-        host_ts = jax.device_get(self.ts)
-        old = host_ts.params.capacity
+        if self.shard_gaussians:
+            new_cap = -(-new_cap // self._cap_mult) * self._cap_mult
+        old = self.ts.params.capacity
         if new_cap <= old:
             return
+        if not self._mh_global:
+            # __init__/restore time: the state is still host/process-local
+            # (global placement happens once at the end of __init__)
+            self.ts = _host_pad_state(jax.device_get(self.ts), old, new_cap)
+            return
+        self.ts = self._pin(_pad_state_jit(self.ts, old=old, new_cap=new_cap))
 
-        def pad(x):
-            if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] != old:
-                return x
-            padded = np.zeros((new_cap,) + x.shape[1:], x.dtype)
-            padded[:old] = x
-            return padded
 
-        host_ts = jax.tree.map(pad, host_ts)
-        self.ts = jax.device_put(host_ts, self._replicated)
+def _host_pad_state(host_ts, old: int, new_cap: int):
+    """Zero-pad capacity-leading leaves of a HOST state tree to new_cap
+    (params/gstate/adam only — decoder dims must never be confused with a
+    coincidentally equal capacity)."""
+
+    def pad(x):
+        if not hasattr(x, "ndim") or x.ndim == 0 or x.shape[0] != old:
+            return x
+        padded = np.zeros((new_cap,) + x.shape[1:], x.dtype)
+        padded[:old] = x
+        return padded
+
+    return host_ts.replace(params=jax.tree.map(pad, host_ts.params),
+                           gstate=jax.tree.map(pad, host_ts.gstate),
+                           adam=jax.tree.map(pad, host_ts.adam))
+
+
+@functools.partial(jax.jit, static_argnames=("old", "new_cap"))
+def _pad_state_jit(ts, *, old: int, new_cap: int):
+    """SPMD capacity pad: every process enters in lockstep; works on
+    replicated AND row-sharded global TrainStates (the caller re-pins the
+    output shardings)."""
+
+    def pad(x):
+        if x.ndim == 0 or x.shape[0] != old:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((new_cap - old,) + x.shape[1:], x.dtype)], axis=0)
+
+    return ts.replace(params=jax.tree.map(pad, ts.params),
+                      gstate=jax.tree.map(pad, ts.gstate),
+                      adam=jax.tree.map(pad, ts.adam))
 
 
 def worker_main(argv=None):
@@ -277,6 +319,9 @@ def worker_main(argv=None):
     p.add_argument("--iters", type=int, default=60)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--shard_gaussians", action="store_true",
+                   help="row-shard params/Adam/densify stats over all mesh "
+                        "devices (SURVEY 2.4 row 2) under multi-host")
     args = p.parse_args(argv)
 
     distributed.initialize()  # must precede any backend-touching jax call
@@ -295,12 +340,23 @@ def worker_main(argv=None):
                         chunk=16, backend="xla")
     trainer = MultiHostTrainer(scene, mesh=mesh, ocfg=ocfg, rcfg=rcfg,
                                max_sh_degree=2, capacity_headroom=1.2,
-                               seed=args.seed)
+                               seed=args.seed,
+                               shard_gaussians=args.shard_gaussians)
     cap0 = trainer.ts.params.capacity
     with jax.set_mesh(mesh):
         history = trainer.train(iterations=args.iters, log_every=20)
-    final = history[-1]
-    host_ts = jax.device_get(trainer.ts)
+        final = history[-1]
+        ts_full = trainer.ts
+        if args.shard_gaussians:
+            # a row-sharded cross-process state is not fully addressable:
+            # gather to replicated before reading it on the host
+            n_dev = mesh.devices.size
+            shard_rows = (trainer.ts.params.xyz
+                          .addressable_shards[0].data.shape[0])
+            assert shard_rows == trainer.ts.params.capacity // n_dev, (
+                shard_rows, trainer.ts.params.capacity, n_dev)
+            ts_full = jax.device_put(ts_full, NamedSharding(mesh, P()))
+    host_ts = jax.device_get(ts_full)
     n_active = int(host_ts.gstate.alive.sum())
     assert np.isfinite(final["loss"]), final
     assert n_active > 256, f"densification never grew the model ({n_active})"

@@ -91,6 +91,15 @@ class DistributedTrainer(Trainer):
 
     _sync_tag = "dist-trainer"
 
+    def restore_state(self, ts) -> None:
+        """Adopt a restored TrainState; under --shard_gaussians the
+        capacity is rounded up to a device multiple and the leaves pinned
+        to the row sharding (a raw checkpoint is host-shaped)."""
+        self.ts = ts
+        if self.shard_gaussians:
+            self._grow_params(ts.params.capacity)  # rounds up + re-places
+            self.ts = self._place_state(self.ts)
+
     def _assemble_batch(self, cameras):
         """(cam_arrays, gt_images, gt_features) for one step's batch.
         ``cameras`` is a list of Camera objects (or None to sample).

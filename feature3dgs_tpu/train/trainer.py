@@ -233,6 +233,11 @@ class Trainer:
         self._pending_reports: list = []
         self._extent_dev = jnp.float32(self.extent)
 
+    def restore_state(self, ts: TrainState) -> None:
+        """Adopt a restored checkpoint TrainState (subclasses re-place it
+        onto their mesh shardings)."""
+        self.ts = ts
+
     def pick_camera(self):
         """Random-without-replacement epoch sampling (train.py:84-86)."""
         if not self._viewpoint_stack:

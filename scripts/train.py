@@ -192,9 +192,7 @@ def main(argv=None):
         trainer = Trainer(scene, **tkw)
     if args.start_checkpoint:
         ts, it = ckpt.load_checkpoint(args.start_checkpoint)
-        if n_proc > 1:
-            ts = trainer.replicate_state(ts)
-        trainer.ts = ts
+        trainer.restore_state(ts)  # mesh trainers re-place onto the mesh
         trainer.iteration = it
         if is_main:
             print(f"Restored checkpoint at iteration {it}")

@@ -45,7 +45,8 @@ def _worker_env(devices: int) -> dict:
 
 
 def _run_workers(n_proc: int, devices_per_proc: int, tile: int, out: str,
-                 iters: int = 60, timeout: int = 900):
+                 iters: int = 60, timeout: int = 900,
+                 shard_gaussians: bool = False):
     port = _free_port()
     procs = []
     logs = []
@@ -58,6 +59,8 @@ def _run_workers(n_proc: int, devices_per_proc: int, tile: int, out: str,
         cmd = [sys.executable, "-m", "feature3dgs_tpu.parallel.multihost",
                "--data", "2", "--tile", str(tile), "--iters", str(iters),
                "--out", out]
+        if shard_gaussians:
+            cmd.append("--shard_gaussians")
         log = open(f"{out}.p{pid}.log", "w")
         logs.append(log)
         procs.append(subprocess.Popen(cmd, env=env, cwd=REPO, stdout=log,
@@ -147,6 +150,34 @@ def test_two_process_training_matches_single_process(tmp_path):
         assert np.median(err) < 2e-5, (
             f"2-proc vs 1-proc {name}: median drift {np.median(err):.2e} "
             "is systematic, not knife-edge noise")
+
+
+def test_two_process_gauss_sharded_matches_single_process(tmp_path):
+    """Multi-host x Gaussian-axis sharding (round-4 composition): the same
+    logical (2x4) mesh with row-sharded params/Adam/densify stats must
+    produce the same training trajectory whether driven by 2 processes or
+    1 — capacity growth runs as a lockstep jitted pad on the row-sharded
+    state (no fully-addressable host arrays anywhere)."""
+    out2 = str(tmp_path / "two_proc_gs.npz")
+    out1 = str(tmp_path / "one_proc_gs.npz")
+    _run_workers(2, 4, tile=4, out=out2, shard_gaussians=True)
+    _run_workers(1, 8, tile=4, out=out1, shard_gaussians=True)
+
+    a = np.load(out2)
+    b = np.load(out1)
+    assert int(a["capacity"]) == int(b["capacity"]) > 256  # growth fired
+    np.testing.assert_array_equal(a["alive"], b["alive"])
+    assert np.isfinite(float(a["loss"])) and np.isfinite(float(b["loss"]))
+    # same two-tier tolerance story as the replicated 2v1 test
+    for name in ("xyz", "opacity", "scaling", "semantic_feature"):
+        err = np.abs(a[name] - b[name])
+        frac_bad = (err > 6e-4).mean()
+        assert frac_bad < 0.02, (
+            f"2-proc vs 1-proc gauss-sharded {name}: {frac_bad:.1%} "
+            f"elements exceed 6e-4 (max {err.max():.2e})")
+        assert err.max() < 5e-2, f"{name}: max drift {err.max():.2e}"
+        assert np.median(err) < 2e-5, (
+            f"{name}: median drift {np.median(err):.2e} is systematic")
 
 
 def test_stripe_indices_balanced():
