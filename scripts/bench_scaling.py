@@ -13,7 +13,18 @@ On one device this also cross-checks that the shard_map wrapper costs
 nothing: its step_ms should match bench.py's within noise.
 
 Prints one JSON line per mesh size:
-  {"devices": D, "mesh": [dp, sp], "step_ms": .., "efficiency": ..}
+  {"devices": D, "mesh": [dp, sp], "step_ms": .., "efficiency": ..,
+   "step_ms_ratio_vs_1dev": .., "hlo_gflops_per_device": ..,
+   "replicated_work_fraction": ..}
+
+The ratio/flops fields make collective-structure regressions visible
+WITHOUT multi-chip hardware (round-2/3 VERDICT): the per-device HLO flop
+count of the compiled SPMD module tells how much of the per-image work
+failed to shard. With work-per-image r(d) = flops_dev(d)*d/n_data
+normalized by the 1-device total, a perfectly sharded step has r=1 and a
+fully replicated one r=d; replicated_work_fraction = (r-1)/(d-1) estimates
+the replicated share (the ~25 ms preprocess/binning/segment-sum floor of
+docs/roofline.md "Multi-chip scaling ceiling").
 """
 from __future__ import annotations
 
@@ -117,13 +128,28 @@ def main(argv=None):
         cam_arrays = stack_cameras(cams)
 
         state = {"ts": ts}
+        step_kwargs = dict(mesh=mesh, ocfg=ocfg, rcfg=cfg,
+                           shard_gaussians=args.shard_gaussians and d > 1)
 
         def step_and_block():
             state["ts"], m = sharded_train_step(
                 state["ts"], cam_arrays, gt_i, gt_f, bg, jnp.int32(1),
-                mesh=mesh, ocfg=ocfg, rcfg=cfg,
-                shard_gaussians=args.shard_gaussians and d > 1)
+                **step_kwargs)
             jax.block_until_ready(m["loss"])
+
+        # per-DEVICE flops of the compiled SPMD module: the structural
+        # sharding metric (independent of CPU-thread timing noise)
+        gflops_dev = None
+        try:
+            with jax.set_mesh(mesh):
+                cost = sharded_train_step.lower(
+                    ts, cam_arrays, gt_i, gt_f, bg, jnp.int32(1),
+                    **step_kwargs).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            gflops_dev = float(cost["flops"]) / 1e9
+        except Exception as e:  # cost model availability varies by backend
+            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
         with jax.set_mesh(mesh):
             step_and_block()  # compile (uncommitted inputs)
@@ -138,15 +164,26 @@ def main(argv=None):
         # pixels processed per step scales with the data axis
         per_img_ms = step_ms / n_data
         if base_ms is None:
-            base_ms = per_img_ms
-        print(json.dumps({
+            base_ms, base_step_ms, base_gflops = per_img_ms, step_ms, gflops_dev
+        rec = {
             "devices": d, "mesh": [n_data, n_tile],
             "step_ms": round(step_ms, 2),
             "images_per_step": n_data,
+            "step_ms_ratio_vs_1dev": round(step_ms / base_step_ms, 4),
             "efficiency_vs_1dev": round(base_ms / per_img_ms / d, 4),
             "platform": platform,
             "backend": cfg.backend,
-        }))
+        }
+        if gflops_dev is not None and base_gflops:
+            rec["hlo_gflops_per_device"] = round(gflops_dev, 3)
+            # work-per-image vs the 1-device total: 1 = fully sharded,
+            # d = fully replicated
+            r = gflops_dev * d / n_data / base_gflops
+            rec["work_per_image_ratio"] = round(r, 4)
+            if d > 1:
+                rec["replicated_work_fraction"] = round(
+                    max(0.0, (r - 1.0) / (d - 1.0)), 4)
+        print(json.dumps(rec))
     return 0
 
 
