@@ -47,15 +47,16 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 # 6-pass HIGHEST. Flip to HIGHEST for bit-tight debugging.
 SEPARABLE_PRECISION = jax.lax.Precision.HIGH
 
-# SSIM blur backend. "matmul": banded dense operators on the MXU (the
-# round-1 design). "shift": window_size static scaled shifts per axis —
-# pure-f32 elementwise (MORE exact than the 3-pass HIGH matmul), HBM-bound
-# at ~0.2 ms/blur vs the matmul's ~11.8 GFLOP/blur at the bench image
-# (docs/tpu_notes.md Ideas). Captured at trace time; flip via
+# SSIM blur backend. "shift" (default since round 4): window_size static
+# scaled shifts per axis — pure-f32 elementwise (MORE exact than the 3-pass
+# HIGH matmul), HBM-bound. "matmul": banded dense operators on the MXU (the
+# round-1 design). Measured on-chip (round-4 queue, bench config): shift
+# 55.41 ms/step vs matmul 56.48 — a ~1.1 ms win, in line with the
+# docs/tpu_notes.md roofline estimate. Captured at trace time; flip via
 # F3DGS_BLUR_IMPL or bench.py --blur_impl for the on-chip A/B.
 import os as _os
 
-BLUR_IMPL = _os.environ.get("F3DGS_BLUR_IMPL", "matmul")
+BLUR_IMPL = _os.environ.get("F3DGS_BLUR_IMPL", "shift")
 
 
 @functools.lru_cache(maxsize=8)
@@ -184,14 +185,15 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
     return _apply_separable(img, ry, rx)
 
 
-# Feature-resize backend for the tile-layout hot path. "matmul": the dense
-# reshaped-operator contraction below. "blocked": block-banded factorization
-# — each block of output rows contracts only its ~2-nonzero-wide window of
-# input tile rows, cutting the contraction length ~6x at the bench shapes
-# (87 GF -> ~14 GF fwd+bwd) at the cost of a ~1.3x windowed input copy.
-# Bit-exact vs the dense form (the dropped terms are structural zeros and
-# the window holds every nonzero by construction). Captured at trace time;
-# flip via F3DGS_RESIZE_IMPL or bench.py --resize_impl for the on-chip A/B.
+# Feature-resize backend for the tile-layout hot path. "matmul" (default):
+# the dense reshaped-operator contraction below. "blocked": block-banded
+# factorization — each block of output rows contracts only its ~2-nonzero-
+# wide window of input tile rows, cutting the contraction length ~6x at the
+# bench shapes (87 GF -> ~14 GF fwd+bwd) at the cost of a ~1.3x windowed
+# input copy. Bit-exact vs the dense form, but MEASURED SLOWER on-chip
+# (round-4 queue: 63.97 ms/step vs 56.48 baseline — the windowed gather/
+# copy costs more than the saved MXU time; the dense contraction was
+# already bandwidth-amortized). Kept for A/B regression checks only.
 RESIZE_IMPL = _os.environ.get("F3DGS_RESIZE_IMPL", "matmul")
 
 
