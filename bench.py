@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--resize_impl", choices=["matmul", "blocked"],
                     default=None,
                     help="feature-resize backend A/B (losses.RESIZE_IMPL)")
+    ap.add_argument("--alpha_matmul", action="store_true",
+                    help="TC-GS alpha-as-matmul kernel mode A/B "
+                         "(RasterConfig.alpha_matmul)")
     args = ap.parse_args(argv)
     F_DIM = args.f_dim
     if args.blur_impl or args.resize_impl:
@@ -95,7 +98,7 @@ def main(argv=None):
     # histogram) costs proportional to the STATIC capacity, not the true
     # count — oversizing 2x costs ~20ms/step at this scale
     rcfg = RasterConfig(instance_capacity=1 << 19, tile_capacity=1 << 11,
-                        chunk=128)
+                        chunk=128, alpha_matmul=args.alpha_matmul)
     ocfg = OptimizationConfig()
     ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),
                     decoder=None, decoder_adam=None)

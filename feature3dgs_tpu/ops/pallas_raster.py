@@ -138,10 +138,35 @@ def _mmc(a, b, contract):
 # forward kernel
 # ---------------------------------------------------------------------------
 
+def _alpha_coeff(gg, ca, cb, cc, ox, oy):
+    """Per-splat quadratic coefficients of the exponent in TILE-LOCAL
+    coordinates: power(k,p) = coeff_k . (1, x_p, y_p, x_p^2, x_p*y_p,
+    y_p^2, 0, 0) — the TC-GS alpha-as-matmul formulation. Tile-local
+    coords keep every term O((dist/sigma)^2), bounding the f32
+    cancellation the matmul reassociation can expose."""
+    xl = gg[:, 0:1] - ox
+    yl = gg[:, 1:2] - oy
+    c0 = -0.5 * (ca * xl * xl + cc * yl * yl) - cb * xl * yl
+    c1 = ca * xl + cb * yl
+    c2 = cc * yl + cb * xl
+    zk = jnp.zeros_like(ca)
+    return jnp.concatenate(
+        [c0, c1, c2, -0.5 * ca, -cb, -0.5 * cc, zk, zk], axis=1), xl, yl
+
+
+def _alpha_monomials(pxl, pyl):
+    """[8, P] tile-local pixel monomial rows matching _alpha_coeff."""
+    ones = jnp.ones_like(pxl)
+    zeros = jnp.zeros_like(pxl)
+    return jnp.concatenate(
+        [ones, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl, zeros, zeros],
+        axis=0)
+
+
 def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 k_chunk: int, grid_x: int, grid_y: int, tile_w: int,
                 tile_h: int, c_pad: int, l_cap: int, tiles_per_program: int,
-                split: bool):
+                split: bool, alpha_mm: bool = False):
     if split:
         # split layout: misc outputs are CHANNEL-MAJOR [8, P] (rows
         # 0:3 rgb, 3 depth) — [P, 128] misc blocks are >90% pad lanes, and
@@ -186,8 +211,13 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         # one list, so image b's tiles occupy [b*T, (b+1)*T) and their pixel
         # coords must be image-local. Identity for a single grid.
         tile_y = jax.lax.rem(jax.lax.div(t_glob, grid_x), grid_y)
-        px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
-        py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
+        pxl = jax.lax.rem(lanes, tile_w).astype(jnp.float32)
+        pyl = jax.lax.div(lanes, tile_w).astype(jnp.float32)
+        ox = (tile_x * tile_w).astype(jnp.float32)
+        oy = (tile_y * tile_h).astype(jnp.float32)
+        px = ox + pxl
+        py = oy + pyl
+        mono = _alpha_monomials(pxl, pyl) if alpha_mm else None
 
         acc[...] = jnp.zeros_like(acc)
         if split:
@@ -221,7 +251,7 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             return (i < n_chunks) & alive
 
         def chunk_body(state, start=start, count=count, px=px, py=py,
-                       n_chunks=n_chunks):
+                       n_chunks=n_chunks, mono=mono, ox=ox, oy=oy):
             i, _ = state
             slot = jax.lax.rem(i, 2)
 
@@ -235,11 +265,15 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             off = pl.multiple_of(
                 jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
             gg = buf[slot]                         # [K, C_pad]
-            dx = gg[:, 0:1] - px                   # [K, P]
-            dy = gg[:, 1:2] - py
             ca, cb, cc = gg[:, 2:3], gg[:, 3:4], gg[:, 4:5]
             op = gg[:, 5:6]
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            if alpha_mm:
+                coeff, _, _ = _alpha_coeff(gg, ca, cb, cc, ox, oy)
+                power = _mm(coeff, mono, ((1,), (0,)))   # [K,8]x[8,P]
+            else:
+                dx = gg[:, 0:1] - px               # [K, P]
+                dy = gg[:, 1:2] - py
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             araw = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
             # tail masking: absolute index start + i*K + k must be <
             # start+count (off may have been clamped back from the slab end)
@@ -324,7 +358,7 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
 
 def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
             interpret: bool = False, tiles_per_program: int = 8,
-            tile_base=None):
+            tile_base=None, alpha_matmul: bool = False):
     """Run the forward compositing kernel.
 
     Args: starts/counts [T] int32; slab [L, C_pad] f32 with C_pad a multiple
@@ -357,7 +391,7 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
     kernel = functools.partial(
         _fwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, grid_y=grid.grid_y,
         tile_w=grid.tile_w, tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap,
-        tiles_per_program=tpp, split=split)
+        tiles_per_program=tpp, split=split, alpha_mm=alpha_matmul)
 
     out_specs = [
         pl.BlockSpec((tpp, 8, p) if split else (tpp, p, c_pad),
@@ -428,7 +462,8 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
 def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 k_chunk: int, grid_x: int, grid_y: int, tile_w: int,
                 tile_h: int, c_pad: int, l_cap: int, split: bool, fag: bool,
-                tiles_per_program: int, poison: bool = False):
+                tiles_per_program: int, poison: bool = False,
+                alpha_mm: bool = False):
     # poison (tests only): a NaN-filled init is aliased into dslab_hbm as
     # one extra trailing input ref; only its buffer is used.
     n_init = 1 if poison else 0
@@ -506,8 +541,13 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
         tile_x = jax.lax.rem(t_glob, grid_x)
         # per-image row wrap (see _fwd_kernel; identity for a single grid)
         tile_y = jax.lax.rem(jax.lax.div(t_glob, grid_x), grid_y)
-        px = (tile_x * tile_w + jax.lax.rem(lanes, tile_w)).astype(jnp.float32)
-        py = (tile_y * tile_h + jax.lax.div(lanes, tile_w)).astype(jnp.float32)
+        pxl = jax.lax.rem(lanes, tile_w).astype(jnp.float32)
+        pyl = jax.lax.div(lanes, tile_w).astype(jnp.float32)
+        ox = (tile_x * tile_w).astype(jnp.float32)
+        oy = (tile_y * tile_h).astype(jnp.float32)
+        px = ox + pxl
+        py = oy + pyl
+        mono = _alpha_monomials(pxl, pyl) if alpha_mm else None
 
         suffix[...] = jnp.zeros_like(suffix)
         if suffix_f is not None:
@@ -560,7 +600,7 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                        gmisc_a=gmisc_a, d_ft=d_ft, ncontrib=ncontrib,
                        finalt_row=finalt_row, seg_len=seg_len,
                        chunk_off=chunk_off, get_dma=get_dma,
-                       put_dma=put_dma):
+                       put_dma=put_dma, mono=mono, ox=ox, oy=oy):
             i = n_chunks - 1 - j
             slot = jax.lax.rem(j, 2)
 
@@ -590,11 +630,16 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
 
             off = chunk_off(i)
             gg = buf[slot]                               # [K, C_pad]
-            dx = gg[:, 0:1] - px
-            dy = gg[:, 1:2] - py
             ca, cb, cc = gg[:, 2:3], gg[:, 3:4], gg[:, 4:5]
             op = gg[:, 5:6]
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            if alpha_mm:
+                coeff, xl, yl = _alpha_coeff(gg, ca, cb, cc, ox, oy)
+                power = _mm(coeff, mono, ((1,), (0,)))
+                dx = dy = None
+            else:
+                dx = gg[:, 0:1] - px
+                dy = gg[:, 1:2] - py
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             gexp = jnp.exp(power)
             araw = jnp.minimum(ALPHA_MAX, op * gexp)
             abs_k = off + krow
@@ -638,11 +683,28 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
 
             dl_dop = jnp.sum(jnp.where(mask, gexp * dl_da, 0.0), axis=1)
             dl_dpow = jnp.where(mask, op * gexp * dl_da, 0.0)
-            d_x = jnp.sum(-(ca * dx + cb * dy) * dl_dpow, axis=1)
-            d_y = jnp.sum(-(cc * dy + cb * dx) * dl_dpow, axis=1)
-            d_ca = jnp.sum(-0.5 * dx * dx * dl_dpow, axis=1)
-            d_cb = jnp.sum(-dx * dy * dl_dpow, axis=1)
-            d_cc = jnp.sum(-0.5 * dy * dy * dl_dpow, axis=1)
+            if alpha_mm:
+                # one [K,P]x[P,8] matmul replaces the five [K,P] multiply+
+                # reduce chains; the coeff->(x,y,conic) chain rule is [K,1]
+                # math (exact-mode equality up to sum reassociation)
+                d_cf = _mm(dl_dpow, mono, ((1,), (1,)))   # [K, 8]
+                dc = [d_cf[:, c:c + 1] for c in range(6)]
+                d_x = (dc[0] * (-(ca * xl + cb * yl)) + dc[1] * ca
+                       + dc[2] * cb)[:, 0]
+                d_y = (dc[0] * (-(cc * yl + cb * xl)) + dc[1] * cb
+                       + dc[2] * cc)[:, 0]
+                d_ca = (dc[0] * (-0.5 * xl * xl) + dc[1] * xl
+                        - 0.5 * dc[3])[:, 0]
+                d_cb = (dc[0] * (-xl * yl) + dc[1] * yl + dc[2] * xl
+                        - dc[4])[:, 0]
+                d_cc = (dc[0] * (-0.5 * yl * yl) + dc[2] * yl
+                        - 0.5 * dc[5])[:, 0]
+            else:
+                d_x = jnp.sum(-(ca * dx + cb * dy) * dl_dpow, axis=1)
+                d_y = jnp.sum(-(cc * dy + cb * dx) * dl_dpow, axis=1)
+                d_ca = jnp.sum(-0.5 * dx * dx * dl_dpow, axis=1)
+                d_cb = jnp.sum(-dx * dy * dl_dpow, axis=1)
+                d_cc = jnp.sum(-0.5 * dy * dy * dl_dpow, axis=1)
             zeros_k = jnp.zeros_like(d_x)
 
             if split:
@@ -753,7 +815,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
              ncontrib, alpha_mask, grid: TileGrid, *, k_chunk: int = 64,
              feature_alpha_grad: bool = False, interpret: bool = False,
              tiles_per_program: int = 8, tile_base=None,
-             poison_init: bool = False):
+             poison_init: bool = False, alpha_matmul: bool = False):
     """Backward kernel: per-instance gradients in slab layout.
 
     gpix_misc: non-split layout [T,P,128] misc-lane cotangents (geom lanes
@@ -810,7 +872,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
         _bwd_kernel, k_chunk=k_chunk, grid_x=grid.grid_x, grid_y=grid.grid_y,
         tile_w=grid.tile_w, tile_h=grid.tile_h, c_pad=c_pad, l_cap=l_cap,
         split=split, fag=feature_alpha_grad, tiles_per_program=tpp,
-        poison=poison_init)
+        poison=poison_init, alpha_mm=alpha_matmul)
 
     if tile_base is None:
         tile_base = jnp.zeros((1,), jnp.int32)
@@ -960,12 +1022,12 @@ def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
     return slab, seg_ids
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
                      xy, conic, opacity, rgbfeat, depth, tile_base,
                      grid: TileGrid, k_chunk: int, feature_alpha_grad: bool,
-                     interpret: bool,
-                     tiles_per_program: int = 8) -> PallasCompositeOutput:
+                     interpret: bool, tiles_per_program: int = 8,
+                     alpha_matmul: bool = False) -> PallasCompositeOutput:
     """Pallas-kernel compositing, drop-in parallel of composite.composite.
 
     gid_sorted is BinningResult.gid_sorted (8-aligned segments with -1
@@ -978,13 +1040,14 @@ def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
     """
     out, _ = _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic,
                      opacity, rgbfeat, depth, tile_base, grid, k_chunk,
-                     feature_alpha_grad, interpret, tiles_per_program)
+                     feature_alpha_grad, interpret, tiles_per_program,
+                     alpha_matmul)
     return out
 
 
 def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
             rgbfeat, depth, tile_base, grid, k_chunk, feature_alpha_grad,
-            interpret, tiles_per_program=8):
+            interpret, tiles_per_program=8, alpha_matmul=False):
     rgb, feat = rgbfeat
     f_dim = feat.shape[-1]
     slab, seg_ids = pack_instances(
@@ -992,7 +1055,7 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
     out_misc, out_feat, finalt, ncontrib = forward(
         tile_starts, tile_counts, slab, grid, k_chunk=k_chunk,
         interpret=interpret, tile_base=tile_base,
-        tiles_per_program=tiles_per_program)
+        tiles_per_program=tiles_per_program, alpha_matmul=alpha_matmul)
     res = (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
            xy.shape[0], f_dim, tile_base)
     color, feature, depth = decode_forward_outputs(out_misc, out_feat, f_dim)
@@ -1004,7 +1067,7 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
 
 
 def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, tiles_per_program,
-            res, cts):
+            alpha_matmul, res, cts):
     (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
      n, f_dim, tile_base) = res
     d_color, d_feature, d_depth, d_finalt, _d_nc = cts
@@ -1047,7 +1110,7 @@ def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, tiles_per_program,
         finalt, ncontrib, jnp.asarray(amask), grid, k_chunk=k_chunk,
         feature_alpha_grad=feature_alpha_grad, interpret=interpret,
         tile_base=tile_base, tiles_per_program=tiles_per_program,
-        poison_init=_POISON_UNWRITTEN_ROWS)
+        poison_init=_POISON_UNWRITTEN_ROWS, alpha_matmul=alpha_matmul)
 
     # per-instance -> per-Gaussian (the atomicAdd/all-reduce analog).
     # Rows the kernel never wrote (beyond each tile's early-exit extent, or

@@ -74,6 +74,18 @@ class RasterConfig:
     # tiles per Pallas program (amortizes per-program pipeline overhead;
     # raise only if VMEM allows at the chosen feature width)
     tiles_per_program: int = 8
+    # TC-GS-style alpha evaluation in the Pallas kernels: the Gaussian
+    # exponent power(k,p) becomes a [K,8]x[8,P] MXU matmul of per-splat
+    # quadratic coefficients against tile-local pixel monomials
+    # (1, x, y, x^2, xy, y^2), replacing ~10 [K,P] VPU passes in the
+    # forward and ~20 in the backward (power recompute + the five d_x..d_cc
+    # reduce chains -> one [K,P]x[P,8] matmul). Same math, reassociated
+    # floats: the 6-pass-f32 matmul error (~3e-6 abs on power) can flip
+    # MARGINAL power<=0 splats vs the exact elementwise path, so n_contrib
+    # is no longer bit-identical to the XLA oracle — parity tests for this
+    # mode use tolerance comparisons (tests/test_pallas.py). Off by
+    # default pending the measured win.
+    alpha_matmul: bool = False
 
     def grid(self, width: int, height: int) -> TileGrid:
         return TileGrid(width=width, height=height,
@@ -206,7 +218,7 @@ def rasterize(
             xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
             pre.depth, None, grid, min(max(config.chunk, 8), 256),
             config.feature_alpha_grad, config.backend == "pallas_interpret",
-            config.tiles_per_program)
+            config.tiles_per_program, config.alpha_matmul)
     else:
         out = composite_lib.composite(
             bins.tile_lists, composite_lib.tile_pixel_coords(grid, xy.dtype),
@@ -317,7 +329,8 @@ def rasterize_batch(
             starts.reshape(-1), bins.tile_counts.reshape(-1),
             slab.reshape(b_cams * stride, slab.shape[-1]), grid,
             k_chunk=k_chunk, interpret=backend == "pallas_interpret",
-            tiles_per_program=config.tiles_per_program)
+            tiles_per_program=config.tiles_per_program,
+            alpha_matmul=config.alpha_matmul)
         color, feature, depth_t = pallas_raster.decode_forward_outputs(
             out_misc, out_feat, semantic_features.shape[-1])
         t_tiles = grid.num_tiles

@@ -130,7 +130,7 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
             xy, pre.conic, pre.opacity, (pre.rgb, G.get_semantic(params)),
             pre.depth, tile_base, grid, min(max(config.chunk, 8), 256),
             config.feature_alpha_grad, backend == "pallas_interpret",
-            config.tiles_per_program)
+            config.tiles_per_program, config.alpha_matmul)
     else:
         pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)
         tl = _pad_tiles(bins.tile_lists, row_mult, -1)

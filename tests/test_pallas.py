@@ -380,3 +380,67 @@ def test_backward_unwritten_rows_masked(monkeypatch):
         s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
         np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
                                    atol=5e-6, err_msg=f"grad {name}")
+
+
+@pytest.mark.parametrize("f_dim", [4, 128])
+def test_pallas_alpha_matmul_mode(f_dim):
+    """TC-GS alpha-as-matmul mode (RasterConfig.alpha_matmul): the exponent
+    and its gradient chains run as [K,8]-coefficient MXU matmuls in
+    tile-local coordinates. Same math, reassociated floats — so this mode's
+    parity contract vs the XLA oracle is TOLERANCE-based: outputs/grads
+    close, and n_contrib may differ only on marginal power<=0 splats (none
+    expected on random data, but the contract allows isolated flips)."""
+    g = random_gaussians(n=200, f_dim=f_dim, seed=3)
+    pre = proj_lib.preprocess(g["means3d"], g["opacities"], CAM,
+                              scales=g["scales"], rotations=g["rotations"],
+                              shs=g["shs"], sh_degree=2)
+    rect_min, rect_max = proj_lib.tile_rect(
+        pre.xy, pre.radius, GRID.grid_x, GRID.grid_y, GRID.tile_w, GRID.tile_h)
+    area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    valid = pre.valid & (area > 0)
+    bins = binning_lib.bin_gaussians(
+        rect_min, rect_max, pre.depth, valid, GRID,
+        instance_capacity=CFG.instance_capacity,
+        tile_capacity=CFG.tile_capacity)
+
+    ref = composite(bins.tile_lists, tile_pixel_coords(GRID), pre.xy,
+                    pre.conic, pre.opacity, pre.rgb, g["feat"], pre.depth,
+                    CFG.chunk, "highest", False)
+    pal = composite_pallas(bins.tile_starts, bins.tile_counts,
+                           bins.gid_sorted, bins.total, pre.xy, pre.conic,
+                           pre.opacity, (pre.rgb, g["feat"]), pre.depth,
+                           None, GRID, 64, False, True, 8, True)
+    np.testing.assert_allclose(pal.color, ref.color, atol=1e-4)
+    np.testing.assert_allclose(pal.feature, ref.feature, atol=1e-4)
+    np.testing.assert_allclose(pal.depth, ref.depth, atol=5e-4)
+    np.testing.assert_allclose(pal.final_T, ref.final_T, atol=1e-4)
+    nc_diff = np.abs(np.asarray(pal.n_contrib) - np.asarray(ref.n_contrib))
+    assert (nc_diff > 0).mean() < 0.01, "n_contrib flips beyond isolated"
+    assert nc_diff.max() <= 1
+
+    rng = np.random.RandomState(0)
+    tc = jnp.asarray(rng.rand(GRID.num_tiles, 256, 3).astype(np.float32))
+    tf = jnp.asarray(rng.randn(GRID.num_tiles, 256, f_dim).astype(np.float32))
+
+    def loss_of(fn):
+        def loss(xy, conic, op, feat):
+            o = fn(xy, conic, op, feat)
+            return (jnp.mean(jnp.abs(o.color - tc))
+                    + jnp.mean(jnp.abs(o.feature - tf))
+                    + jnp.mean(o.depth) + jnp.mean(o.final_T))
+        return loss
+
+    ref_fn = lambda xy, conic, op, feat: composite(
+        bins.tile_lists, tile_pixel_coords(GRID), xy, conic, op, pre.rgb,
+        feat, pre.depth, CFG.chunk, "highest", False)
+    pal_fn = lambda xy, conic, op, feat: composite_pallas(
+        bins.tile_starts, bins.tile_counts, bins.gid_sorted, bins.total,
+        xy, conic, op, (pre.rgb, feat), pre.depth, None, GRID, 64,
+        False, True, 8, True)
+    args = (pre.xy, pre.conic, pre.opacity, g["feat"])
+    gr = jax.grad(loss_of(ref_fn), argnums=tuple(range(4)))(*args)
+    gp = jax.grad(loss_of(pal_fn), argnums=tuple(range(4)))(*args)
+    for name, a, b in zip(["xy", "conic", "op", "feat"], gp, gr):
+        s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
+        np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
+                                   atol=1e-4, err_msg=f"grad {name}")
