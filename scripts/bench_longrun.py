@@ -73,6 +73,11 @@ def main(argv=None):
                          "first-step + first-densify compiles)")
     ap.add_argument("--sync_every", type=int, default=10)
     ap.add_argument("--densify_interval", type=int, default=100)
+    ap.add_argument("--densify_grad_threshold", type=float, default=6e-4,
+                    help="default is 3x the training default: random-GT "
+                         "densification at 2e-4 grew the scene to 6.3M "
+                         "instances in the round-4 run, firing a raster "
+                         "capacity re-jit INSIDE the measured region")
     args = ap.parse_args(argv)
     if args.warmup <= 2 * args.densify_interval:
         ap.error("--warmup must exceed 2*--densify_interval so the "
@@ -88,21 +93,26 @@ def main(argv=None):
         densify_from_iter=args.warmup - args.densify_interval * 2,
         densify_until_iter=args.iters + 1,
         densification_interval=args.densify_interval,
+        densify_grad_threshold=args.densify_grad_threshold,
         opacity_reset_interval=100_000,  # keep the measured region uniform
     )
-    # generous capacities: no growth re-jit mid-measurement
-    rcfg = RasterConfig(instance_capacity=1 << 20, tile_capacity=1 << 11,
+    # generous capacities: no growth re-jit mid-measurement (1<<21 rows =
+    # 2.1 GB slab + d_slab; enough headroom for the damped densify rate)
+    rcfg = RasterConfig(instance_capacity=1 << 21, tile_capacity=1 << 11,
                         chunk=128)
     tr = Trainer(scene, ocfg=ocfg, rcfg=rcfg, max_sh_degree=3,
                  capacity_headroom=8.0)
 
     sync_marks = []          # (iteration, wall_time) at sync boundaries
+    cap0 = None              # capacities at the start of the measured region
     t_start = time.time()
     for it in range(1, args.iters + 1):
         sync = (it % args.sync_every == 0)
         m = tr.step(sync=sync)
         if sync:
             sync_marks.append((it, time.time()))
+            if cap0 is None and it >= args.warmup:
+                cap0 = (tr.rcfg.instance_capacity, tr.ts.params.capacity)
             if it % 100 == 0:
                 print(f"  it {it}: loss={m['loss']:.4f} "
                       f"wall={time.time() - t_start:.1f}s", flush=True)
@@ -143,6 +153,10 @@ def main(argv=None):
             "spans": len(spans), "densify_spans": len(dirty),
             "num_active": float(np.asarray(
                 jax.device_get(tr.ts.gstate.num_active))),
+            # growth re-jits inside the run invalidate the ratio (a ~65 s
+            # compile lands in one span) — surface it instead of hiding it
+            "capacity_regrew": (tr.rcfg.instance_capacity,
+                                tr.ts.params.capacity) != cap0,
         },
     }))
 
