@@ -71,7 +71,7 @@ class BinningResult(NamedTuple):
     num_tiles_touched: jnp.ndarray  # [N] int32 per-Gaussian rect area (0 if culled)
 
 
-def bin_gaussians(
+def expand_instances(
     rect_min: jnp.ndarray,
     rect_max: jnp.ndarray,
     depth: jnp.ndarray,
@@ -79,19 +79,16 @@ def bin_gaussians(
     grid: TileGrid,
     *,
     instance_capacity: int,
-    tile_capacity: int,
-    build_tile_lists: bool = True,
-    segment_align: int = 8,
-) -> BinningResult:
-    """Build depth-sorted per-tile Gaussian lists.
+):
+    """Static-capacity (Gaussian, tile) instance expansion — the
+    ``duplicateWithKeys`` analog (rasterizer_impl.cu:70-111), shared by the
+    full single-device binning below and the Gaussian-sharded instance
+    exchange (parallel/sharded.py), where each device expands only its own
+    row shard.
 
-    Args:
-      rect_min/rect_max: [N,2] int32 tile rectangles (max exclusive), from
-        core.projection.tile_rect.
-      depth: [N] view-space z (all > 0.2 for valid entries, so plain float
-        ascending sort matches the reference's float-bits radix order,
-        rasterizer_impl.cu:104).
-      valid: [N] bool from preprocess.
+    Returns (tile_key [L], depth_key [L], gid [L] with -1 invalid,
+    counts [num_tiles] per-tile true counts, total scalar). Invalid slots
+    carry tile_key = num_tiles sentinel / depth +inf.
     """
     # The f32 reciprocal-divide expansion below manipulates slot indices and
     # offsets (not just rect-local values) in f32; beyond 2^24 those are no
@@ -156,6 +153,7 @@ def bin_gaussians(
     sentinel_tile = jnp.int32(grid.num_tiles)
     tile_key = jnp.where(slot_valid, tile_id, sentinel_tile)
     depth_key = jnp.where(slot_valid, gathered[:, 4], jnp.float32(jnp.inf))
+    gid_signed = jnp.where(slot_valid, gid, jnp.int32(-1))
 
     # Per-tile true counts (identifyTileRanges analog) via a 2-D difference
     # array over the rects: each rect adds +1 at (y0,x0), -1 at (y0,x1) and
@@ -175,18 +173,28 @@ def bin_gaussians(
         corner_val, mode="drop")
     c2 = jnp.cumsum(jnp.cumsum(diff.reshape(gyp, gxp), axis=1), axis=0)
     counts = c2[: grid.grid_y, : grid.grid_x].reshape(-1)
+    return tile_key, depth_key, gid_signed, counts, total.astype(jnp.int32)
 
-    # Segment alignment: inject up to (segment_align-1) filler entries per
-    # tile with depth=+inf so the stable sort lands them at each segment's
-    # END, padding every segment length to a multiple of segment_align.
-    # This makes tile starts provably aligned for the Pallas kernels' HBM
-    # chunk DMAs (the slab is (8,128)-tiled) with NO post-sort repack pass —
-    # an L-length gather + scatter at 1M slots costs ~12ms on v5e, while
-    # sorting T*(align-1) extra elements is ~2% more sort work.
+
+def sort_instances(tile_key, depth_key, gid, counts, t_tiles: int,
+                   *, segment_align: int = 8):
+    """(tile, depth) stable sort with per-tile 8-alignment fillers.
+
+    Segment alignment: inject up to (segment_align-1) filler entries per
+    tile with depth=+inf so the stable sort lands them at each segment's
+    END, padding every segment length to a multiple of segment_align.
+    This makes tile starts provably aligned for the Pallas kernels' HBM
+    chunk DMAs (the slab is (8,128)-tiled) with NO post-sort repack pass —
+    an L-length gather + scatter at 1M slots costs ~12ms on v5e, while
+    sorting T*(align-1) extra elements is ~2% more sort work.
+
+    ``counts`` must be the per-tile count of valid entries actually present
+    in ``tile_key`` (invalid entries carry the t_tiles sentinel / +inf
+    depth / gid -1). Returns (tile_sorted, gid_sorted, starts) with
+    len = len(tile_key) + n_fill (n_fill static).
+    """
     a = segment_align
-    gid_signed = jnp.where(slot_valid, gid, jnp.int32(-1))
     if a > 1:
-        t_tiles = grid.num_tiles
         pad_needed = (-counts) % a                         # [T] in [0, a)
         # static filler lattice, length padded so the final sorted array
         # stays a multiple of the HBM row-tile (and of large chunk sizes);
@@ -205,10 +213,10 @@ def bin_gaussians(
         depth_key_all = jnp.concatenate([
             depth_key, jnp.full((n_fill,), jnp.inf, jnp.float32)])
         gid_all = jnp.concatenate([
-            gid_signed, jnp.full((n_fill,), -1, jnp.int32)])
+            gid, jnp.full((n_fill,), -1, jnp.int32)])
         padded_counts = counts + pad_needed
     else:
-        tile_key_all, depth_key_all, gid_all = tile_key, depth_key, gid_signed
+        tile_key_all, depth_key_all, gid_all = tile_key, depth_key, gid
         padded_counts = counts
 
     tile_sorted, _, gid_sorted = jax.lax.sort(
@@ -216,6 +224,42 @@ def bin_gaussians(
 
     # Aligned exclusive-cumsum starts (segments include their fillers).
     starts = jnp.cumsum(padded_counts) - padded_counts
+    return tile_sorted, gid_sorted, starts
+
+
+def bin_gaussians(
+    rect_min: jnp.ndarray,
+    rect_max: jnp.ndarray,
+    depth: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid: TileGrid,
+    *,
+    instance_capacity: int,
+    tile_capacity: int,
+    build_tile_lists: bool = True,
+    segment_align: int = 8,
+) -> BinningResult:
+    """Build depth-sorted per-tile Gaussian lists.
+
+    Args:
+      rect_min/rect_max: [N,2] int32 tile rectangles (max exclusive), from
+        core.projection.tile_rect.
+      depth: [N] view-space z (all > 0.2 for valid entries, so plain float
+        ascending sort matches the reference's float-bits radix order,
+        rasterizer_impl.cu:104).
+      valid: [N] bool from preprocess.
+    """
+    tile_key, depth_key, gid_signed, counts, total = expand_instances(
+        rect_min, rect_max, depth, valid, grid,
+        instance_capacity=instance_capacity)
+    areas = jnp.where(
+        valid,
+        (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1]),
+        0).astype(jnp.int32)
+
+    tile_sorted, gid_sorted, starts = sort_instances(
+        tile_key, depth_key, gid_signed, counts, grid.num_tiles,
+        segment_align=segment_align)
 
     tile_lists = None
     if build_tile_lists:

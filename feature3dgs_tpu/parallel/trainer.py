@@ -40,10 +40,14 @@ class DistributedTrainer(Trainer):
 
     def __init__(self, scene: SceneData, *, mesh: jax.sharding.Mesh,
                  cameras_per_step: int | None = None,
-                 shard_gaussians: bool = False, **kwargs):
+                 shard_gaussians: bool = False,
+                 shard_instances: bool = False, **kwargs):
         super().__init__(scene, **kwargs)
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
+        # Gaussian-sharded O(N) stages via the tile-owner instance exchange
+        # (sharded._make_exchange_loss_fn); requires shard_gaussians.
+        self.shard_instances = shard_instances
         self.batch = cameras_per_step or self.n_data
         if self.batch % self.n_data:
             raise ValueError(
@@ -135,7 +139,8 @@ class DistributedTrainer(Trainer):
             self.ts, cam_arrays, gt_images, gt_features, self.bg,
             its, mesh=self.mesh, ocfg=self.ocfg, rcfg=self.rcfg,
             speedup=self.speedup, max_sh_degree=self.max_sh_degree,
-            shard_gaussians=self.shard_gaussians)
+            shard_gaussians=self.shard_gaussians,
+            shard_instances=self.shard_instances)
 
         if sync:
             host_metrics, ok = self._sync_metrics(metrics, self.iteration,

@@ -93,6 +93,11 @@ def main(argv=None):
                         help="row-shard params/Adam over all mesh devices "
                              "(gather-in, reduce-scatter-out; the memory-"
                              "scaling mode) instead of replicating them")
+    parser.add_argument("--shard_instances", action="store_true",
+                        help="also shard the O(N) binning/sort/pack/"
+                             "segment-sum stages via the tile-owner "
+                             "instance exchange (implies/requires "
+                             "--shard_gaussians; pallas backend only)")
     args = parser.parse_args(argv)
     if args.small:
         args.n_gauss, args.f_dim = 2_000, 16
@@ -128,8 +133,11 @@ def main(argv=None):
         cam_arrays = stack_cameras(cams)
 
         state = {"ts": ts}
-        step_kwargs = dict(mesh=mesh, ocfg=ocfg, rcfg=cfg,
-                           shard_gaussians=args.shard_gaussians and d > 1)
+        step_kwargs = dict(
+            mesh=mesh, ocfg=ocfg, rcfg=cfg,
+            shard_gaussians=(args.shard_gaussians or args.shard_instances)
+            and d > 1,
+            shard_instances=args.shard_instances and d > 1)
 
         def step_and_block():
             state["ts"], m = sharded_train_step(

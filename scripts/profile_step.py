@@ -142,6 +142,21 @@ def main(argv=None):
     f = jax.jit(functools.partial(
         train_step, ocfg=OptimizationConfig(), rcfg=rcfg, speedup=False,
         max_sh_degree=3))
+    if args.dump_hlo:
+        # --xla_dump_to never materializes through the axon remote-compile
+        # tunnel (the service compiles in its own filesystem context) —
+        # fetch the optimized module text from the compiled executable
+        # instead; the train step donates ts, so lower() on fresh abstract
+        # args costs one extra (cached-by-service) compile.
+        t0 = time.time()
+        txt = f.lower(ts, cam, gt_image, gt_feature, bg,
+                      jnp.int32(1)).compile().as_text()
+        out_txt = os.path.join(args.dump_hlo,
+                               "train_step.after_optimizations.txt")
+        with open(out_txt, "w") as fh:
+            fh.write(txt)
+        print(f"optimized HLO ({len(txt) >> 20} MB) -> {out_txt} "
+              f"[{time.time() - t0:.0f}s]")
     t0 = time.time()
     ts, m = f(ts, cam, gt_image, gt_feature, bg, jnp.int32(1))
     jax.block_until_ready(m["loss"])

@@ -73,6 +73,13 @@ def main(argv=None):
                              "reduce-scatter grads out): per-device model+"
                              "optimizer memory drops ~n_dev-fold for "
                              "million-splat scenes. Requires --mesh.")
+    parser.add_argument("--shard_instances", action="store_true",
+                        help="also shard the O(N) preprocess/binning/sort/"
+                             "pack/segment-sum stages over the Gaussian "
+                             "axis, routing (tile, depth, gid) instances "
+                             "to tile-owner devices via all_to_all. "
+                             "Requires --shard_gaussians and the pallas "
+                             "backend.")
     parser.add_argument("--gt_cache_mb", type=int, default=0,
                         help="device-memory budget (MB) for cached GT "
                              "images + teacher feature maps; 0 pins "
@@ -165,6 +172,7 @@ def main(argv=None):
         trainer = MultiHostTrainer(scene, mesh=mesh,
                                    cameras_per_step=args.cameras_per_step,
                                    shard_gaussians=args.shard_gaussians,
+                                   shard_instances=args.shard_instances,
                                    **tkw)
         mesh_ctx = jax.set_mesh(mesh)
         args.disable_viewer = True  # the GUI loop is single-controller
@@ -181,6 +189,8 @@ def main(argv=None):
         trainer = DistributedTrainer(scene, mesh=mesh,
                                      cameras_per_step=args.cameras_per_step,
                                      shard_gaussians=args.shard_gaussians,
+                                     shard_instances=args.shard_instances,
+                                   shard_instances=args.shard_instances,
                                      **tkw)
         mesh_ctx = jax.set_mesh(mesh)
         print(f"Mesh training: data={n_data} x tile={n_tile} over "

@@ -368,3 +368,56 @@ def test_batched_b4_trainer_tracks_single_trainer():
     # both runs must have densified and reset on schedule
     assert int(dist.ts.gstate.num_active) > 96
     assert int(single2.ts.gstate.num_active) > 96
+
+
+def test_instance_exchange_step_matches_replicated():
+    """shard_instances=True (round 4): the O(N) preprocess/binning/sort/
+    pack/segment-sum stages run Gaussian-sharded with a tile-owner
+    all_to_all instance exchange; one step must match the replicated step
+    (reassociation tolerance — depth-tie ordering within a tile may differ
+    since instances arrive grouped by source device)."""
+    params, state = _model(seed=11)
+    adam = optim.init_adam(params)
+    ts = TrainState(params=params, gstate=state, adam=adam,
+                    decoder=None, decoder_adam=None)
+    rng = np.random.RandomState(12)
+    cams = [make_camera(width=W, height=H, cam_z=-4.0 - 0.5 * i)
+            for i in range(2)]
+    gt_images = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+    gt_features = jnp.asarray(
+        rng.randn(2, H // 2, W // 2, F_DIM).astype(np.float32))
+    bg = jnp.zeros(3)
+    ocfg = OptimizationConfig()
+    rcfg = RasterConfig(tile_w=16, tile_h=16, chunk=16,
+                        instance_capacity=1 << 12, tile_capacity=1 << 9,
+                        backend="pallas_interpret")
+
+    mesh = make_mesh((2, 4))
+    with jax.set_mesh(mesh):
+        ts_r, m_r = sharded_train_step(
+            jax.tree.map(jnp.copy, ts), stack_cameras(cams), gt_images,
+            gt_features, bg, jnp.int32(1), mesh=mesh, ocfg=ocfg, rcfg=rcfg)
+        ts_x, m_x = sharded_train_step(
+            jax.tree.map(jnp.copy, ts), stack_cameras(cams), gt_images,
+            gt_features, bg, jnp.int32(1), mesh=mesh, ocfg=ocfg, rcfg=rcfg,
+            shard_gaussians=True, shard_instances=True)
+
+    np.testing.assert_allclose(float(m_x["loss"]), float(m_r["loss"]),
+                               rtol=2e-5)
+    assert int(m_x["num_instances"]) == int(m_r["num_instances"])
+    # state stays row-sharded (memory story intact)
+    cap = ts_x.params.capacity
+    assert (ts_x.params.xyz.addressable_shards[0].data.shape[0] == cap // 8)
+    for name in ("xyz", "opacity", "scaling", "rotation", "features_dc",
+                 "features_rest", "semantic_feature"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(ts_x.params, name)),
+            np.asarray(getattr(ts_r.params, name)), atol=5e-5,
+            err_msg=f"instance-exchange vs replicated param {name}")
+    np.testing.assert_allclose(np.asarray(ts_x.gstate.xyz_gradient_accum),
+                               np.asarray(ts_r.gstate.xyz_gradient_accum),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ts_x.gstate.denom),
+                                  np.asarray(ts_r.gstate.denom))
+    np.testing.assert_array_equal(np.asarray(ts_x.gstate.max_radii2d),
+                                  np.asarray(ts_r.gstate.max_radii2d))
