@@ -89,6 +89,11 @@ def main(argv=None):
     parser.add_argument("--backend", type=str, default="auto")
     parser.add_argument("--small", action="store_true",
                         help="tiny shapes for CPU-mesh validation runs")
+    parser.add_argument("--cost_only", action="store_true",
+                        help="skip the timing loops; emit only the "
+                             "compiled-module structural metrics (flops + "
+                             "bytes per device) — the fast way to compare "
+                             "sharding modes on the virtual CPU mesh")
     parser.add_argument("--shard_gaussians", action="store_true",
                         help="row-shard params/Adam over all mesh devices "
                              "(gather-in, reduce-scatter-out; the memory-"
@@ -156,32 +161,44 @@ def main(argv=None):
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
             gflops_dev = float(cost["flops"]) / 1e9
+            # bytes accessed: the structural metric for the flop-free
+            # stages (sort/scatter/gather/pack/segment-sum) that the
+            # instance exchange shards
+            gbytes_dev = float(cost.get("bytes accessed", 0.0)) / 1e9
         except Exception as e:  # cost model availability varies by backend
+            gbytes_dev = None
             print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
-        with jax.set_mesh(mesh):
-            step_and_block()  # compile (uncommitted inputs)
-            step_and_block()  # recompile: outputs come back mesh-committed
-            if platform in ("tpu", "axon"):
-                step_ms = profiled_step_ms(step_and_block, n=args.iters)
-            else:
-                t0 = time.time()
-                for _ in range(args.iters):
-                    step_and_block()
-                step_ms = (time.time() - t0) / args.iters * 1000
+        if args.cost_only:
+            step_ms = float("nan")
+        else:
+            with jax.set_mesh(mesh):
+                step_and_block()  # compile (uncommitted inputs)
+                step_and_block()  # recompile: outputs come back committed
+                if platform in ("tpu", "axon"):
+                    step_ms = profiled_step_ms(step_and_block, n=args.iters)
+                else:
+                    t0 = time.time()
+                    for _ in range(args.iters):
+                        step_and_block()
+                    step_ms = (time.time() - t0) / args.iters * 1000
         # pixels processed per step scales with the data axis
         per_img_ms = step_ms / n_data
         if base_ms is None:
-            base_ms, base_step_ms, base_gflops = per_img_ms, step_ms, gflops_dev
+            base_ms, base_step_ms = per_img_ms, step_ms
+            base_gflops, base_gbytes = gflops_dev, gbytes_dev
         rec = {
             "devices": d, "mesh": [n_data, n_tile],
-            "step_ms": round(step_ms, 2),
             "images_per_step": n_data,
-            "step_ms_ratio_vs_1dev": round(step_ms / base_step_ms, 4),
-            "efficiency_vs_1dev": round(base_ms / per_img_ms / d, 4),
             "platform": platform,
             "backend": cfg.backend,
         }
+        if not args.cost_only:
+            rec.update({
+                "step_ms": round(step_ms, 2),
+                "step_ms_ratio_vs_1dev": round(step_ms / base_step_ms, 4),
+                "efficiency_vs_1dev": round(base_ms / per_img_ms / d, 4),
+            })
         if gflops_dev is not None and base_gflops:
             rec["hlo_gflops_per_device"] = round(gflops_dev, 3)
             # work-per-image vs the 1-device total: 1 = fully sharded,
@@ -191,6 +208,13 @@ def main(argv=None):
             if d > 1:
                 rec["replicated_work_fraction"] = round(
                     max(0.0, (r - 1.0) / (d - 1.0)), 4)
+        if gbytes_dev is not None and base_gbytes:
+            rec["hlo_gbytes_per_device"] = round(gbytes_dev, 3)
+            rb = gbytes_dev * d / n_data / base_gbytes
+            rec["bytes_per_image_ratio"] = round(rb, 4)
+            if d > 1:
+                rec["replicated_bytes_fraction"] = round(
+                    max(0.0, (rb - 1.0) / (d - 1.0)), 4)
         print(json.dumps(rec))
     return 0
 
