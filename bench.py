@@ -48,14 +48,26 @@ def main(argv=None):
     ap.add_argument("--alpha_matmul", action="store_true",
                     help="TC-GS alpha-as-matmul kernel mode A/B "
                          "(RasterConfig.alpha_matmul)")
+    ap.add_argument("--resize_precision",
+                    choices=["default", "high", "highest"], default=None,
+                    help="separable-operator MXU precision A/B "
+                         "(losses.SEPARABLE_PRECISION; 'default' = 1-pass "
+                         "bf16 throughput mode, not a parity mode)")
     args = ap.parse_args(argv)
     F_DIM = args.f_dim
-    if args.blur_impl or args.resize_impl:
+    if args.blur_impl or args.resize_impl or args.resize_precision:
+        import jax as _jax
         from feature3dgs_tpu.train import losses as _L
         if args.blur_impl:
             _L.BLUR_IMPL = args.blur_impl
         if args.resize_impl:
             _L.RESIZE_IMPL = args.resize_impl
+        if args.resize_precision:
+            _L.SEPARABLE_PRECISION = {
+                "default": _jax.lax.Precision.DEFAULT,
+                "high": _jax.lax.Precision.HIGH,
+                "highest": _jax.lax.Precision.HIGHEST,
+            }[args.resize_precision]
     import jax
     import jax.numpy as jnp
     from feature3dgs_tpu.core import transforms

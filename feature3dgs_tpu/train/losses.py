@@ -44,8 +44,18 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 # MXU passes for the separable image operators: HIGH = 3-pass bf16 (~1e-6
 # relative error at test sizes, ~5e-5 at 1-Mpix x 128ch — well inside the
 # reference's own atomicAdd nondeterminism) at ~2.8x the speed of the exact
-# 6-pass HIGHEST. Flip to HIGHEST for bit-tight debugging.
-SEPARABLE_PRECISION = jax.lax.Precision.HIGH
+# 6-pass HIGHEST. Flip to HIGHEST for bit-tight debugging, or DEFAULT
+# (1-pass bf16, ~1e-2 relative) via F3DGS_RESIZE_PRECISION=default — an
+# F=512 throughput A/B where the resize contractions are the largest
+# single cost block (~30 ms of 114, round-4 profile); NOT a
+# gradient-parity mode.
+import os as _os
+
+SEPARABLE_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[_os.environ.get("F3DGS_RESIZE_PRECISION", "high")]
 
 # SSIM blur backend. "shift" (default since round 4): window_size static
 # scaled shifts per axis — pure-f32 elementwise (MORE exact than the 3-pass
@@ -54,8 +64,6 @@ SEPARABLE_PRECISION = jax.lax.Precision.HIGH
 # 55.41 ms/step vs matmul 56.48 — a ~1.1 ms win, in line with the
 # docs/tpu_notes.md roofline estimate. Captured at trace time; flip via
 # F3DGS_BLUR_IMPL or bench.py --blur_impl for the on-chip A/B.
-import os as _os
-
 BLUR_IMPL = _os.environ.get("F3DGS_BLUR_IMPL", "shift")
 
 

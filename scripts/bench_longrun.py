@@ -102,6 +102,14 @@ def main(argv=None):
                         chunk=128)
     tr = Trainer(scene, ocfg=ocfg, rcfg=rcfg, max_sh_degree=3,
                  capacity_headroom=8.0)
+    # pre-activate the full SH degree: the schedule's bumps at iterations
+    # 1000/2000/3000 change a STATIC field (re-jit, ~60 s each on the
+    # tunnel) and would land inside the measured region — this bench
+    # isolates densify-maintenance stalls, not one-off compile events
+    # (round-4 run: ratio 1.43 of which ~everything beyond the densify
+    # windows was the it-1000 SH re-jit)
+    tr.ts = tr.ts.replace(
+        gstate=tr.ts.gstate.replace(active_sh_degree=3))
 
     sync_marks = []          # (iteration, wall_time) at sync boundaries
     cap0 = None              # capacities at the start of the measured region

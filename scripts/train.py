@@ -190,12 +190,14 @@ def main(argv=None):
                                      cameras_per_step=args.cameras_per_step,
                                      shard_gaussians=args.shard_gaussians,
                                      shard_instances=args.shard_instances,
-                                   shard_instances=args.shard_instances,
                                      **tkw)
         mesh_ctx = jax.set_mesh(mesh)
         print(f"Mesh training: data={n_data} x tile={n_tile} over "
               f"{n_data * n_tile} devices, {trainer.batch} cameras/step")
     else:
+        if args.shard_instances:
+            raise ValueError("--shard_instances needs --shard_gaussians "
+                             "and a device mesh (--mesh DxT)")
         if args.shard_gaussians:
             raise ValueError("--shard_gaussians needs a device mesh: pass "
                              "--mesh DxT (e.g. --mesh 1x8)")
