@@ -42,7 +42,7 @@ def main(argv=None):
                          "README.md:327-339)")
     ap.add_argument("--blur_impl", choices=["matmul", "shift"], default=None,
                     help="SSIM blur backend A/B (losses.BLUR_IMPL)")
-    ap.add_argument("--resize_impl", choices=["matmul", "blocked"],
+    ap.add_argument("--resize_impl", choices=["matmul", "blocked", "stride"],
                     default=None,
                     help="feature-resize backend A/B (losses.RESIZE_IMPL)")
     ap.add_argument("--alpha_matmul", action="store_true",

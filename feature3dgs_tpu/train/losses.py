@@ -202,6 +202,10 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
 # (round-4 queue: 63.97 ms/step vs 56.48 baseline — the windowed gather/
 # copy costs more than the saved MXU time; the dense contraction was
 # already bandwidth-amortized). Kept for A/B regression checks only.
+# "stride": strided-candidate block resize (resize_from_tiles_blocks) —
+# exact-f32 2-tap lerp as static strided slices, loss path only (the
+# trainer permutes the GT instead of un-permuting the prediction); falls
+# back to matmul when the shape lacks a stride plan.
 RESIZE_IMPL = _os.environ.get("F3DGS_RESIZE_IMPL", "matmul")
 
 
@@ -345,6 +349,138 @@ def resize_bilinear_from_tile_rows(tiles_local: jnp.ndarray, grid,
     t2 = jax.lax.dot_general(rxt, t1, (((1, 2), (1, 2)), ((), ())),
                              precision=pr)        # [out_w, out_h, C]
     return t2.transpose(1, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Strided-candidate block resize ("stride" RESIZE_IMPL)
+#
+# The align_corners operator has exactly 2 taps per output row at offsets
+# lo_j = base*j + e_j (base = floor(scale), e_j = floor(j*frac) a small
+# non-negative drift). Every tap is therefore one of M = e_max+2 STRIDED
+# slices of the input ("candidates" cand_m[j] = in[base*j + m]), and the
+# resize is a static per-row weighted sum of those slices — pure-f32
+# elementwise VPU work with slice/pad VJPs, no MXU contraction, no gathers.
+# Exactly the trick that made the shifted-add SSIM blur win, generalized to
+# non-unit strides.
+#
+# The catch: straight from the rasterizer tile layout [gy, gx, th, tw, C],
+# image-row slices would need a (gy, th) transpose. Avoided by emitting the
+# output in BLOCK-PERMUTED layout [OY, OX, qy, qx, C] (q = t/base outputs
+# per tile extent): within a block, candidate rows are strided slices of
+# one tile row-block (plus a one-block shift for taps that cross). The L1
+# feature loss is permutation-invariant, so the trainer compares against a
+# blockify_map()-permuted GT instead of un-permuting the prediction.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _stride_plan(n_in: int, n_out: int, t: int):
+    """Per-axis plan (base, q, sw [M, n_out] f32) for the strided-candidate
+    resize, or None when the axis doesn't fit the block structure (upsample,
+    tile extent not divisible by the stride, partial output blocks, or tap
+    drift too wide — the dense matmul handles those)."""
+    if n_out <= 1 or n_in < n_out:
+        return None
+    s = (n_in - 1) / (n_out - 1)
+    base = int(np.floor(s))
+    if base < 1 or t % base != 0:
+        return None
+    q = t // base
+    if n_out % q != 0:
+        return None
+    ys = np.arange(n_out, dtype=np.float64) * s
+    lo = np.clip(np.floor(ys).astype(np.int64), 0, n_in - 1)
+    wy = (ys - lo).astype(np.float32)          # same rounding as _interp_matrix
+    hi = np.minimum(lo + 1, n_in - 1)
+    j = np.arange(n_out, dtype=np.int64)
+    m_lo, m_hi = lo - base * j, hi - base * j
+    if m_lo.min() < 0:
+        return None
+    n_m = int(m_hi.max()) + 1
+    if n_m > min(base + 3, t):                 # wide drift: matmul wins
+        return None
+    sw = np.zeros((n_m, n_out), np.float32)
+    np.add.at(sw, (m_lo, j), np.float32(1.0) - wy)
+    np.add.at(sw, (m_hi, j), wy)
+    return base, q, sw
+
+
+def _stride_cand(x: jnp.ndarray, bdim: int, tdim: int, base: int, q: int,
+                 m: int, nblk: int) -> jnp.ndarray:
+    """cand_m along one tiled axis: cand[ob, sl] = x[block/row of base*(ob*q
+    + sl) + m] for nblk output blocks of q slots. ≤2 strided slices + concat;
+    a missing tail block is zero-padded (its weights are zero by
+    construction — lo/hi never exceed n_in-1)."""
+    t = x.shape[tdim]
+    n1 = min((t - m + base - 1) // base, q)    # slots sourced in-block
+    idx1 = [slice(None)] * x.ndim
+    idx1[bdim] = slice(0, nblk)
+    idx1[tdim] = slice(m, m + base * n1, base)
+    p1 = x[tuple(idx1)]
+    if n1 == q:
+        return p1
+    r0 = base * n1 + m - t                     # in [0, base)
+    idx2 = [slice(None)] * x.ndim
+    idx2[bdim] = slice(1, min(nblk + 1, x.shape[bdim]))
+    idx2[tdim] = slice(r0, r0 + base * (q - n1), base)
+    p2 = x[tuple(idx2)]
+    if p2.shape[bdim] < nblk:
+        pad = [(0, 0)] * x.ndim
+        pad[bdim] = (0, nblk - p2.shape[bdim])
+        p2 = jnp.pad(p2, pad)
+    return jnp.concatenate([p1, p2], axis=tdim)
+
+
+def _stride_resize_axis(x: jnp.ndarray, bdim: int, tdim: int, plan):
+    base, q, sw = plan
+    n_out = sw.shape[1]
+    nblk = n_out // q
+    wshape = [1] * x.ndim
+    wshape[bdim], wshape[tdim] = nblk, q
+    acc = None
+    for m in range(sw.shape[0]):
+        if not sw[m].any():
+            continue
+        c = _stride_cand(x, bdim, tdim, base, q, m, nblk)
+        term = c * jnp.asarray(sw[m].reshape(nblk, q)).reshape(wshape)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def resize_from_tiles_blocks(tiles: jnp.ndarray, grid, out_h: int,
+                             out_w: int):
+    """Block-permuted strided-candidate resize straight from tile layout.
+
+    Returns ([OY, OX, qy, qx, C], (qy, qx)) where out[oy, ox, sy, sx] is
+    output pixel (oy*qy+sy, ox*qx+sx) of the align_corners resize — i.e.
+    blockify_map(resize_bilinear_from_tiles(...), qy, qx) to f32-lerp
+    accuracy (EXACTER than the 3-pass bf16 HIGH contraction: each output is
+    the literal (1-w)*lo + w*hi two-product f32 sum). None when either axis
+    lacks a stride plan; callers fall back to the dense contraction."""
+    gy, gx, th, tw = grid.grid_y, grid.grid_x, grid.tile_h, grid.tile_w
+    py = _stride_plan(grid.height, out_h, th)
+    px = _stride_plan(grid.width, out_w, tw)
+    if py is None or px is None:
+        return None
+    c = tiles.shape[-1]
+    x = tiles.reshape(gy, gx, th, tw, c)
+    t1 = _stride_resize_axis(x, 0, 2, py)      # [OY, gx, qy, tw, C]
+    t2 = _stride_resize_axis(t1, 1, 3, px)     # [OY, OX, qy, qx, C]
+    return t2, (py[1], px[1])
+
+
+def blockify_map(img: jnp.ndarray, qy: int, qx: int) -> jnp.ndarray:
+    """[H, W, C] -> [H/qy, W/qx, qy, qx, C] block permutation (the layout
+    resize_from_tiles_blocks emits). Applied to the GT teacher map so the
+    L1 compare needs no un-permute of the prediction."""
+    h, w, c = img.shape
+    return img.reshape(h // qy, qy, w // qx, qx, c).transpose(0, 2, 1, 3, 4)
+
+
+def unblockify_map(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of blockify_map (tests/visualization)."""
+    oy, ox, qy, qx, c = blocks.shape
+    return blocks.transpose(0, 2, 1, 3, 4).reshape(oy * qy, ox * qx, c)
 
 
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2):

@@ -89,16 +89,29 @@ def train_step(
                               ndc_offset=ndc_offset)
         rgb, ll1 = L.rgb_loss(out.color, gt_image, ocfg.lambda_dssim)
         # resize straight from tile layout: the [H,W,F] feature image is
-        # never materialized (out.feature gets DCE'd by XLA)
-        fmap = L.resize_bilinear_from_tiles(
-            out.feature_tiles, rcfg.grid(cam.width, cam.height),
-            gt_feature.shape[0], gt_feature.shape[1])
+        # never materialized (out.feature gets DCE'd by XLA). With
+        # RESIZE_IMPL="stride" the resize stays in block-permuted layout
+        # and the GT is permuted to match instead (L1 is permutation
+        # invariant; the 1x1-conv decoder is channel-only) — no dense
+        # contraction, no un-permute (losses.resize_from_tiles_blocks).
+        grid = rcfg.grid(cam.width, cam.height)
+        gt_h, gt_w = gt_feature.shape[0], gt_feature.shape[1]
+        fmap = gt_f = None
+        if L.RESIZE_IMPL == "stride" and (grid.height, grid.width) != (gt_h, gt_w):
+            rb = L.resize_from_tiles_blocks(out.feature_tiles, grid, gt_h, gt_w)
+            if rb is not None:
+                fmap, (qy, qx) = rb
+                gt_f = L.blockify_map(gt_feature.astype(jnp.float32), qy, qx)
+        if fmap is None:  # identity size, no stride plan, or matmul/blocked
+            fmap = L.resize_bilinear_from_tiles(out.feature_tiles, grid,
+                                                gt_h, gt_w)
+            gt_f = gt_feature.astype(jnp.float32)
         if speedup:
             fmap = apply_decoder(decoder, fmap)
-        # fp16 teacher maps upcast here (fused into the loss reduce) —
+        # fp16 teacher maps upcast above (fused into the loss reduce) —
         # torch's fp16->f32 promotion semantics in the reference l1_loss
         # (train.py:105); no-op for f32 maps
-        ll1_feat = L.l1_loss(fmap, gt_feature.astype(jnp.float32))
+        ll1_feat = L.l1_loss(fmap, gt_f)
         total = rgb + ocfg.feature_loss_weight * ll1_feat
         return total, (out, ll1, ll1_feat)
 

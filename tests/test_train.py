@@ -258,3 +258,32 @@ def test_missing_feature_map_raises(tmp_path):
     scene = load_scene(str(root), foundation_model="lseg",
                        allow_missing_features=True)
     assert scene.train_cameras[1].semantic_feature is None
+
+
+def test_train_step_stride_resize_matches_matmul(monkeypatch):
+    """RESIZE_IMPL='stride' (block-permuted strided-candidate resize +
+    blockified GT) must track the dense-contraction path: same math up to
+    the dense path's 3-pass-bf16 HIGH error (~1e-4 relative)."""
+    from feature3dgs_tpu.train import losses as L
+
+    # half-resolution teacher maps so the resize is NOT the identity and
+    # both axes have a stride plan (32->16, 48->24: base 2, q 8)
+    scene = _make_scene(n_cams=2, seed=3)
+    for cam in scene.train_cameras:
+        cam.semantic_feature = cam.semantic_feature[::2, ::2]
+
+    def run(impl):
+        monkeypatch.setattr(L, "RESIZE_IMPL", impl)
+        ocfg = OptimizationConfig(
+            iterations=6, densify_from_iter=100,
+            lr=optim.LRConfig(position_lr_max_steps=6))
+        tr = Trainer(scene, ocfg=ocfg, rcfg=RCFG, max_sh_degree=3,
+                     feature_dim=F_DIM, capacity_headroom=3.0)
+        return [tr.step()["loss"] for _ in range(6)]
+
+    try:
+        a = run("stride")
+        b = run("matmul")
+    finally:
+        monkeypatch.setattr(L, "RESIZE_IMPL", "matmul")
+    np.testing.assert_allclose(a, b, rtol=2e-4)
