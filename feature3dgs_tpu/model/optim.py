@@ -116,17 +116,31 @@ def adam_update(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-15,
+    keep: jnp.ndarray | None = None,
 ) -> tuple[GaussianParams, AdamState]:
+    """``keep`` (scalar bool, optional): when False the whole update —
+    params, moments AND the step counter — is discarded and the previous
+    state returned, elementwise-identical to selecting old-vs-new
+    afterwards. Gating here lets XLA fuse the select into the update
+    fusions instead of a separate full read+write pass over the optimizer
+    state (the trainer's non-finite-loss guard; ~2.2 ms/step at F=512)."""
     step = state.step + 1
     t = step.astype(jnp.float32)
     c1 = 1.0 - b1 ** t
     c2 = 1.0 - b2 ** t
 
-    new_mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
-    new_nu = jax.tree.map(lambda n, g: b2 * n + (1 - b2) * g * g, state.nu, grads)
+    sel = (lambda new, old: jnp.where(keep, new, old)) if keep is not None \
+        else (lambda new, old: new)
+    new_mu = jax.tree.map(lambda m, g: sel(b1 * m + (1 - b1) * g, m),
+                          state.mu, grads)
+    new_nu = jax.tree.map(lambda n, g: sel(b2 * n + (1 - b2) * g * g, n),
+                          state.nu, grads)
     new_params = jax.tree.map(
-        lambda p, m, n, lr: p - lr * (m / c1) / (jnp.sqrt(n / c2) + eps),
+        lambda p, m, n, lr: sel(p - lr * (m / c1) / (jnp.sqrt(n / c2) + eps),
+                                p),
         params, new_mu, new_nu, lrs)
+    if keep is not None:
+        step = jnp.where(keep, step, state.step)
     return new_params, AdamState(mu=new_mu, nu=new_nu, step=step)
 
 

@@ -636,7 +636,11 @@ def _apply_step_tail(ts, loss_fn, iteration, gstate, mesh, ocfg, speedup,
             ts.params, zeros_offset, ts.decoder))
 
     lrs = optim.group_lrs(ocfg.lr, iteration, gstate.spatial_lr_scale)
-    params, adam = optim.adam_update(ts.params, g_params, ts.adam, lrs)
+    # device-side failure detection, same contract as train_step; gated
+    # inside adam_update so the select fuses into the update fusions
+    finite = jnp.isfinite(loss)
+    params, adam = optim.adam_update(ts.params, g_params, ts.adam, lrs,
+                                     keep=finite)
 
     decoder, decoder_adam = ts.decoder, ts.decoder_adam
     if speedup:
@@ -646,14 +650,9 @@ def _apply_step_tail(ts, loss_fn, iteration, gstate, mesh, ocfg, speedup,
     from feature3dgs_tpu.model import density
     gstate = density.add_densification_stats(gstate, g_offset, vis, rad)
 
-    # device-side failure detection, same contract as train_step
-    finite = jnp.isfinite(loss)
-
     def _keep(new, old):
         return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
 
-    params = _keep(params, ts.params)
-    adam = _keep(adam, ts.adam)
     gstate = _keep(gstate, ts.gstate)
     if speedup:
         decoder = _keep(decoder, ts.decoder)

@@ -292,6 +292,10 @@ def resize_bilinear_from_tiles(tiles: jnp.ndarray, grid,
         out = _resize_from_tiles_blocked(tiles, grid, out_h, out_w)
         if out is not None:
             return out
+    if RESIZE_IMPL == "stride":
+        out = _stride_resize_from_tiles(tiles, grid, out_h, out_w)
+        if out is not None:
+            return out
     pr = SEPARABLE_PRECISION
     ry = _interp_matrix(grid.height, out_h)       # [out_h, H]
     rx = _interp_matrix(grid.width, out_w)        # [out_w, W]
@@ -405,82 +409,93 @@ def _stride_plan(n_in: int, n_out: int, t: int):
     return base, q, sw
 
 
-def _stride_cand(x: jnp.ndarray, bdim: int, tdim: int, base: int, q: int,
-                 m: int, nblk: int) -> jnp.ndarray:
-    """cand_m along one tiled axis: cand[ob, sl] = x[block/row of base*(ob*q
-    + sl) + m] for nblk output blocks of q slots. ≤2 strided slices + concat;
-    a missing tail block is zero-padded (its weights are zero by
-    construction — lo/hi never exceed n_in-1)."""
-    t = x.shape[tdim]
-    n1 = min((t - m + base - 1) // base, q)    # slots sourced in-block
-    idx1 = [slice(None)] * x.ndim
-    idx1[bdim] = slice(0, nblk)
-    idx1[tdim] = slice(m, m + base * n1, base)
-    p1 = x[tuple(idx1)]
-    if n1 == q:
-        return p1
-    r0 = base * n1 + m - t                     # in [0, base)
-    idx2 = [slice(None)] * x.ndim
-    idx2[bdim] = slice(1, min(nblk + 1, x.shape[bdim]))
-    idx2[tdim] = slice(r0, r0 + base * (q - n1), base)
-    p2 = x[tuple(idx2)]
-    if p2.shape[bdim] < nblk:
-        pad = [(0, 0)] * x.ndim
-        pad[bdim] = (0, nblk - p2.shape[bdim])
-        p2 = jnp.pad(p2, pad)
-    return jnp.concatenate([p1, p2], axis=tdim)
-
-
-def _stride_resize_axis(x: jnp.ndarray, bdim: int, tdim: int, plan):
+@functools.lru_cache(maxsize=32)
+def _stride_xop(n_in: int, n_out: int, t: int):
+    """Within-tile per-block operators (Wmain [OB, q, t], Wcross
+    [OB, q, k] | None) built from the stride plan: output row i = ob*q+s
+    taps in-tile row base*s+m of block ob (or row base*s+m-t of block
+    ob+1 when it crosses). Contracting t — the SECOND-MINOR dim of the
+    tile layout — rides the MXU with no relayout; every alternative
+    measured worse (non-unit strided slices lower to ~10 ms while loops,
+    a (q, base) split of t re-tiles the sublane dim at ~3 ms/reshape, and
+    batch-middle dot operands get relayout-copied at ~5.9 ms each,
+    F=512 figures)."""
+    plan = _stride_plan(n_in, n_out, t)
+    if plan is None:
+        return None
     base, q, sw = plan
-    n_out = sw.shape[1]
-    nblk = n_out // q
-    wshape = [1] * x.ndim
-    wshape[bdim], wshape[tdim] = nblk, q
-    acc = None
-    for m in range(sw.shape[0]):
-        if not sw[m].any():
-            continue
-        c = _stride_cand(x, bdim, tdim, base, q, m, nblk)
-        term = c * jnp.asarray(sw[m].reshape(nblk, q)).reshape(wshape)
-        acc = term if acc is None else acc + term
-    return acc
+    n_m, n_o = sw.shape
+    ob_n = n_o // q
+    kc = max(0, n_m - base)
+    wm = np.zeros((ob_n, q, t), np.float32)
+    wc = np.zeros((ob_n, q, kc), np.float32) if kc else None
+    for m in range(n_m):
+        for i in np.nonzero(sw[m])[0]:
+            ob, s = divmod(int(i), q)
+            cin = base * s + m
+            if cin < t:
+                wm[ob, s, cin] += sw[m, i]
+            else:
+                wc[ob, s, cin - t] += sw[m, i]
+    if wc is not None and not wc.any():
+        wc = None
+    return q, wm, wc
 
 
-def resize_from_tiles_blocks(tiles: jnp.ndarray, grid, out_h: int,
-                             out_w: int):
-    """Block-permuted strided-candidate resize straight from tile layout.
+def _pad_blocks(x: jnp.ndarray, dim: int, n: int) -> jnp.ndarray:
+    if x.shape[dim] >= n:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[dim] = (0, n - x.shape[dim])
+    return jnp.pad(x, pad)                     # zero block: weights are 0
 
-    Returns ([OY, OX, qy, qx, C], (qy, qx)) where out[oy, ox, sy, sx] is
-    output pixel (oy*qy+sy, ox*qx+sx) of the align_corners resize — i.e.
-    blockify_map(resize_bilinear_from_tiles(...), qy, qx) to f32-lerp
-    accuracy (EXACTER than the 3-pass bf16 HIGH contraction: each output is
-    the literal (1-w)*lo + w*hi two-product f32 sum). None when either axis
-    lacks a stride plan; callers fall back to the dense contraction."""
+
+def _stride_resize_from_tiles(tiles: jnp.ndarray, grid, out_h: int,
+                              out_w: int):
+    """align_corners resize straight from tile layout as two per-block
+    tile-axis contractions ("stride" RESIZE_IMPL), or None when either
+    axis lacks a stride plan.
+
+    Both dots run batch-leading with the contraction on the second-minor
+    dim (relayout-free on TPU), at Precision.HIGHEST — exact-f32 at a
+    2-3-term contraction, and ~free because the depth is one tile extent
+    (the dots are bandwidth-bound: ~12 GF total at the F=512 bench
+    shapes). The result [OY, qy, OX, qx, C] merges to [out_h, out_w, C]
+    by a plain reshape — no permutation anywhere."""
     gy, gx, th, tw = grid.grid_y, grid.grid_x, grid.tile_h, grid.tile_w
-    py = _stride_plan(grid.height, out_h, th)
-    px = _stride_plan(grid.width, out_w, tw)
-    if py is None or px is None:
+    yop = _stride_xop(grid.height, out_h, th)
+    xop = _stride_xop(grid.width, out_w, tw)
+    if yop is None or xop is None:
         return None
     c = tiles.shape[-1]
+    pr = jax.lax.Precision.HIGHEST
     x = tiles.reshape(gy, gx, th, tw, c)
-    t1 = _stride_resize_axis(x, 0, 2, py)      # [OY, gx, qy, tw, C]
-    t2 = _stride_resize_axis(t1, 1, 3, px)     # [OY, OX, qy, qx, C]
-    return t2, (py[1], px[1])
 
+    # x-pass: batch (gy, gx-block), contract tw.
+    qx, wm, wc = xop
+    obx = wm.shape[0]
+    lhs = jnp.broadcast_to(jnp.asarray(wm)[None], (gy,) + wm.shape)
+    t1 = jax.lax.dot_general(lhs, _pad_blocks(x, 1, obx)[:, :obx],
+                             (((3,), (3,)), ((0, 1), (0, 1))), precision=pr)
+    if wc is not None:                          # [gy, OX, qx, th, C]
+        k = wc.shape[2]
+        tail = _pad_blocks(x[:, 1:, :, :k, :], 1, obx)[:, :obx]
+        lhs_c = jnp.broadcast_to(jnp.asarray(wc)[None], (gy,) + wc.shape)
+        t1 = t1 + jax.lax.dot_general(
+            lhs_c, tail, (((3,), (3,)), ((0, 1), (0, 1))), precision=pr)
 
-def blockify_map(img: jnp.ndarray, qy: int, qx: int) -> jnp.ndarray:
-    """[H, W, C] -> [H/qy, W/qx, qy, qx, C] block permutation (the layout
-    resize_from_tiles_blocks emits). Applied to the GT teacher map so the
-    L1 compare needs no un-permute of the prediction."""
-    h, w, c = img.shape
-    return img.reshape(h // qy, qy, w // qx, qx, c).transpose(0, 2, 1, 3, 4)
-
-
-def unblockify_map(blocks: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of blockify_map (tests/visualization)."""
-    oy, ox, qy, qx, c = blocks.shape
-    return blocks.transpose(0, 2, 1, 3, 4).reshape(oy * qy, ox * qx, c)
+    # y-pass: batch (gy-block), contract th.
+    qy, wm, wc = yop
+    oby = wm.shape[0]
+    t2 = jax.lax.dot_general(jnp.asarray(wm), _pad_blocks(t1, 0, oby)[:oby],
+                             (((2,), (3,)), ((0,), (0,))), precision=pr)
+    if wc is not None:                          # [OY, qy, OX, qx, C]
+        k = wc.shape[2]
+        tail = _pad_blocks(t1[1:, :, :, :k, :], 0, oby)[:oby]
+        t2 = t2 + jax.lax.dot_general(
+            jnp.asarray(wc), tail, (((2,), (3,)), ((0,), (0,))),
+            precision=pr)
+    return t2.reshape(out_h, out_w, c)
 
 
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2):

@@ -89,29 +89,16 @@ def train_step(
                               ndc_offset=ndc_offset)
         rgb, ll1 = L.rgb_loss(out.color, gt_image, ocfg.lambda_dssim)
         # resize straight from tile layout: the [H,W,F] feature image is
-        # never materialized (out.feature gets DCE'd by XLA). With
-        # RESIZE_IMPL="stride" the resize stays in block-permuted layout
-        # and the GT is permuted to match instead (L1 is permutation
-        # invariant; the 1x1-conv decoder is channel-only) — no dense
-        # contraction, no un-permute (losses.resize_from_tiles_blocks).
-        grid = rcfg.grid(cam.width, cam.height)
-        gt_h, gt_w = gt_feature.shape[0], gt_feature.shape[1]
-        fmap = gt_f = None
-        if L.RESIZE_IMPL == "stride" and (grid.height, grid.width) != (gt_h, gt_w):
-            rb = L.resize_from_tiles_blocks(out.feature_tiles, grid, gt_h, gt_w)
-            if rb is not None:
-                fmap, (qy, qx) = rb
-                gt_f = L.blockify_map(gt_feature.astype(jnp.float32), qy, qx)
-        if fmap is None:  # identity size, no stride plan, or matmul/blocked
-            fmap = L.resize_bilinear_from_tiles(out.feature_tiles, grid,
-                                                gt_h, gt_w)
-            gt_f = gt_feature.astype(jnp.float32)
+        # never materialized (out.feature gets DCE'd by XLA)
+        fmap = L.resize_bilinear_from_tiles(
+            out.feature_tiles, rcfg.grid(cam.width, cam.height),
+            gt_feature.shape[0], gt_feature.shape[1])
         if speedup:
             fmap = apply_decoder(decoder, fmap)
-        # fp16 teacher maps upcast above (fused into the loss reduce) —
+        # fp16 teacher maps upcast here (fused into the loss reduce) —
         # torch's fp16->f32 promotion semantics in the reference l1_loss
         # (train.py:105); no-op for f32 maps
-        ll1_feat = L.l1_loss(fmap, gt_f)
+        ll1_feat = L.l1_loss(fmap, gt_feature.astype(jnp.float32))
         total = rgb + ocfg.feature_loss_weight * ll1_feat
         return total, (out, ll1, ll1_feat)
 
@@ -120,7 +107,12 @@ def train_step(
         ts.params, zeros_offset, ts.decoder)
 
     lrs = optim.group_lrs(ocfg.lr, iteration, gstate.spatial_lr_scale)
-    params, adam = optim.adam_update(ts.params, g_params, ts.adam, lrs)
+    # The non-finite guard (below) gates the Adam update in place: a
+    # separate keep-old-vs-new select afterwards would be an extra full
+    # read+write pass over params + both moments.
+    finite = jnp.isfinite(loss)
+    params, adam = optim.adam_update(ts.params, g_params, ts.adam, lrs,
+                                     keep=finite)
 
     decoder, decoder_adam = ts.decoder, ts.decoder_adam
     if speedup:
@@ -133,15 +125,12 @@ def train_step(
     # Failure detection (absent in the reference, SURVEY.md §5), device-side
     # so it works in pipelined (sync=False) training too: a non-finite loss
     # means non-finite gradients poisoning Adam moments and every later
-    # step — discard the whole update and keep the previous state. The host
-    # aborts on persistent streaks at its sync points.
-    finite = jnp.isfinite(loss)
-
+    # step — discard the whole update and keep the previous state
+    # (params/adam already gated inside adam_update). The host aborts on
+    # persistent streaks at its sync points.
     def _keep(new, old):
         return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
 
-    params = _keep(params, ts.params)
-    adam = _keep(adam, ts.adam)
     gstate = _keep(gstate, ts.gstate)
     if speedup:
         decoder = _keep(decoder, ts.decoder)

@@ -260,25 +260,23 @@ def test_resize_blocked_dispatch_and_fallback(monkeypatch):
         atol=0)
 
 
-def test_resize_stride_blocks_exact_vs_f64_oracle():
-    """The strided-candidate block resize is the EXACT f32 2-tap lerp:
-    un-permuted it must sit ~1e-6 from a float64 dense-operator oracle
+def test_resize_stride_exact_vs_f64_oracle():
+    """The stride impl (per-block tile-axis contractions at HIGHEST) is the
+    exact-f32 2-tap resize: ~1e-6 from a float64 dense-operator oracle
     (tighter than the 3-pass bf16 HIGH contraction it replaces)."""
     from feature3dgs_tpu.ops.binning import TileGrid
     rng = np.random.RandomState(7)
     for h, w, oh, ow in [(128, 160, 64, 80), (96, 128, 48, 64),
-                         (64, 64, 16, 16)]:
+                         (64, 64, 16, 16), (35, 50, 16, 24)]:
         grid = TileGrid(width=w, height=h, tile_w=16, tile_h=16)
         tiles = rng.randn(grid.num_tiles, grid.pixels_per_tile, 6
                           ).astype(np.float32)
-        rb = L.resize_from_tiles_blocks(jnp.asarray(tiles), grid, oh, ow)
-        assert rb is not None, (h, w, oh, ow)
-        blocks, (qy, qx) = rb
-        assert blocks.shape == (oh // qy, ow // qx, qy, qx, 6)
-        got = np.asarray(L.unblockify_map(blocks), np.float64)
-        img = tiles.reshape(grid.grid_y, grid.grid_x, 16, 16, 6).transpose(
-            0, 2, 1, 3, 4).reshape(grid.grid_y * 16, grid.grid_x * 16, 6
-                                   )[:h, :w].astype(np.float64)
+        got = L._stride_resize_from_tiles(jnp.asarray(tiles), grid, oh, ow)
+        assert got is not None, (h, w, oh, ow)
+        got = np.asarray(got, np.float64)
+        gy, gx = grid.grid_y, grid.grid_x
+        img = tiles.reshape(gy, gx, 16, 16, 6).transpose(0, 2, 1, 3, 4
+            ).reshape(gy * 16, gx * 16, 6)[:h, :w].astype(np.float64)
         ry = L._interp_matrix(h, oh).astype(np.float64)
         rx = L._interp_matrix(w, ow).astype(np.float64)
         want = np.einsum("ph,hwc->pwc", ry, img)
@@ -286,24 +284,9 @@ def test_resize_stride_blocks_exact_vs_f64_oracle():
         np.testing.assert_allclose(got, want, atol=2e-6)
 
 
-def test_resize_stride_blockify_roundtrip_and_l1_equivalence():
-    """blockify_map/unblockify_map invert each other, and the block-layout
-    L1 against a blockified GT equals the image-layout L1 (the permutation
-    invariance the trainer's stride path relies on)."""
-    rng = np.random.RandomState(8)
-    img = jnp.asarray(rng.randn(64, 80, 5).astype(np.float32))
-    gt = jnp.asarray(rng.randn(64, 80, 5).astype(np.float32))
-    b = L.blockify_map(img, 8, 8)
-    np.testing.assert_allclose(np.asarray(L.unblockify_map(b)),
-                               np.asarray(img), atol=0)
-    l_img = float(L.l1_loss(img, gt))
-    l_blk = float(L.l1_loss(b, L.blockify_map(gt, 8, 8)))
-    assert abs(l_img - l_blk) <= 1e-6, (l_img, l_blk)
-
-
 def test_resize_stride_gradients_match_dense():
-    """AD through the strided slices (pad transposes) must match the dense
-    contraction's transposed-matmul gradient."""
+    """AD through the per-block dots must match the dense contraction's
+    transposed-matmul gradient."""
     import jax
     from feature3dgs_tpu.ops.binning import TileGrid
     grid = TileGrid(width=160, height=128, tile_w=16, tile_h=16)
@@ -313,8 +296,8 @@ def test_resize_stride_gradients_match_dense():
     t = jnp.asarray(rng.randn(64, 80, 4).astype(np.float32))
 
     def loss_stride(x):
-        blocks, (qy, qx) = L.resize_from_tiles_blocks(x, grid, 64, 80)
-        return jnp.sum(jnp.abs(blocks - L.blockify_map(t, qy, qx)))
+        return jnp.sum(jnp.abs(
+            L._stride_resize_from_tiles(x, grid, 64, 80) - t))
 
     def loss_dense(x):
         return jnp.sum(jnp.abs(
@@ -325,14 +308,25 @@ def test_resize_stride_gradients_match_dense():
     np.testing.assert_allclose(g1, g2, atol=2e-4)
 
 
-def test_resize_stride_plan_fallbacks():
-    """Shapes outside the block structure return None (trainer falls back
-    to the dense path): upsample, partial output blocks, odd ratios."""
+def test_resize_stride_dispatch_and_fallback(monkeypatch):
+    """RESIZE_IMPL='stride' routes resize_bilinear_from_tiles through the
+    block-dot path when a plan exists and falls back to dense otherwise
+    (upsample, partial output blocks, wide tap drift)."""
     from feature3dgs_tpu.ops.binning import TileGrid
     grid = TileGrid(width=50, height=35, tile_w=16, tile_h=16)
-    tiles = jnp.zeros((grid.num_tiles, grid.pixels_per_tile, 3))
-    assert L.resize_from_tiles_blocks(tiles, grid, 70, 100) is None  # upsample
-    assert L.resize_from_tiles_blocks(tiles, grid, 19, 23) is None   # partial
-    # applicable: 35x50 -> 16x24 has base=2, q=8, 16%8==0, 24%8==0
-    out = L.resize_from_tiles_blocks(tiles, grid, 16, 24)
-    assert out is not None and out[0].shape == (2, 3, 8, 8, 3)
+    rng = np.random.RandomState(6)
+    tiles = jnp.asarray(rng.randn(grid.num_tiles, grid.pixels_per_tile, 3)
+                        .astype(np.float32))
+    assert L._stride_resize_from_tiles(tiles, grid, 70, 100) is None
+    assert L._stride_resize_from_tiles(tiles, grid, 19, 23) is None
+    monkeypatch.setattr(L, "RESIZE_IMPL", "stride")
+    routed = L.resize_bilinear_from_tiles(tiles, grid, 16, 24)   # has plan
+    fell_back = L.resize_bilinear_from_tiles(tiles, grid, 19, 23)
+    monkeypatch.setattr(L, "RESIZE_IMPL", "matmul")
+    np.testing.assert_allclose(
+        np.asarray(routed),
+        np.asarray(L._stride_resize_from_tiles(tiles, grid, 16, 24)), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(fell_back),
+        np.asarray(L.resize_bilinear_from_tiles(tiles, grid, 19, 23)),
+        atol=0)
