@@ -202,11 +202,13 @@ def resize_bilinear_align_corners(img: jnp.ndarray, out_h: int, out_w: int) -> j
 # (round-4 queue: 63.97 ms/step vs 56.48 baseline — the windowed gather/
 # copy costs more than the saved MXU time; the dense contraction was
 # already bandwidth-amortized). Kept for A/B regression checks only.
-# "stride": strided-candidate block resize (resize_from_tiles_blocks) —
-# exact-f32 2-tap lerp as static strided slices, loss path only (the
-# trainer permutes the GT instead of un-permuting the prediction); falls
-# back to matmul when the shape lacks a stride plan.
-RESIZE_IMPL = _os.environ.get("F3DGS_RESIZE_IMPL", "matmul")
+# "stride" (default since round 4): per-block tile-axis contractions
+# exploiting the align_corners 2-tap structure — exact-f32 (HIGHEST
+# small dots, tighter than HIGH's 3-pass bf16) and measured faster at
+# every channel width (F=128 55.4 -> 50.7 ms/step, F=512 114.4 -> 99.8,
+# round-4 on-chip A/Bs); falls back to matmul when the shape lacks a
+# stride plan (upsample, partial output blocks, wide tap drift).
+RESIZE_IMPL = _os.environ.get("F3DGS_RESIZE_IMPL", "stride")
 
 
 @functools.lru_cache(maxsize=32)
@@ -332,6 +334,11 @@ def resize_bilinear_from_tile_rows(tiles_local: jnp.ndarray, grid,
     """
     gx, th, tw = grid.grid_x, grid.tile_h, grid.tile_w
     c = tiles_local.shape[-1]
+    if RESIZE_IMPL == "stride":
+        out = _stride_resize_from_tile_rows(tiles_local, grid, out_h, out_w,
+                                            row0, rows_loc, gy_pad)
+        if out is not None:
+            return out
     pr = SEPARABLE_PRECISION
     ry = _interp_matrix(grid.height, out_h)       # [out_h, H]
     rx = _interp_matrix(grid.width, out_w)        # [out_w, W]
@@ -356,24 +363,19 @@ def resize_bilinear_from_tile_rows(tiles_local: jnp.ndarray, grid,
 
 
 # ---------------------------------------------------------------------------
-# Strided-candidate block resize ("stride" RESIZE_IMPL)
+# Stride resize ("stride" RESIZE_IMPL): per-block tile-axis contractions
 #
 # The align_corners operator has exactly 2 taps per output row at offsets
 # lo_j = base*j + e_j (base = floor(scale), e_j = floor(j*frac) a small
-# non-negative drift). Every tap is therefore one of M = e_max+2 STRIDED
-# slices of the input ("candidates" cand_m[j] = in[base*j + m]), and the
-# resize is a static per-row weighted sum of those slices — pure-f32
-# elementwise VPU work with slice/pad VJPs, no MXU contraction, no gathers.
-# Exactly the trick that made the shifted-add SSIM blur win, generalized to
-# non-unit strides.
-#
-# The catch: straight from the rasterizer tile layout [gy, gx, th, tw, C],
-# image-row slices would need a (gy, th) transpose. Avoided by emitting the
-# output in BLOCK-PERMUTED layout [OY, OX, qy, qx, C] (q = t/base outputs
-# per tile extent): within a block, candidate rows are strided slices of
-# one tile row-block (plus a one-block shift for taps that cross). The L1
-# feature loss is permutation-invariant, so the trainer compares against a
-# blockify_map()-permuted GT instead of un-permuting the prediction.
+# non-negative drift), so output block ob (q = t/base outputs per tile
+# extent) reads ONLY tile block ob plus the first few rows of block ob+1.
+# Each axis therefore reduces to one batched [OB, q, t]-by-tiles dot that
+# contracts the within-tile extent t — the second-minor dim of the
+# rasterizer layout, which the MXU contracts with NO relayout — plus a
+# small crossing-tap dot. Outputs land in [OY, qy, OX, qx, C], which is
+# the image [out_h, out_w, C] under a plain reshape. Measured F=512 parity
+# mode: 114.4 -> 99.8 ms/step (the dense contraction's ~30 ms resize
+# block drops to ~14).
 # ---------------------------------------------------------------------------
 
 
@@ -496,6 +498,76 @@ def _stride_resize_from_tiles(tiles: jnp.ndarray, grid, out_h: int,
             jnp.asarray(wc), tail, (((2,), (3,)), ((0,), (0,))),
             precision=pr)
     return t2.reshape(out_h, out_w, c)
+
+
+def _stride_resize_from_tile_rows(tiles_local: jnp.ndarray, grid,
+                                  out_h: int, out_w: int, row0,
+                                  rows_loc: int, gy_pad: int):
+    """Tile-sharded form of _stride_resize_from_tiles: this shard's
+    additive [out_h, out_w, C] contribution from its contiguous tile rows
+    [row0, row0+rows_loc) (psum over shards recovers the full resize).
+
+    Output y-block ob pairs 1:1 with tile row ob (main dot) and ob+1
+    (crossing-tap dot), so a shard contributes main terms for its own
+    blocks and crossing terms for block row0-1; both land via
+    dynamic_update_slice into zero buffers (``row0`` is traced). The
+    weight tables are zero-padded so out-of-range blocks contribute
+    exact zeros. None when either axis lacks a stride plan."""
+    yop = _stride_xop(grid.height, out_h, grid.tile_h)
+    xop = _stride_xop(grid.width, out_w, grid.tile_w)
+    if yop is None or xop is None:
+        return None
+    gx, th, tw = grid.grid_x, grid.tile_h, grid.tile_w
+    c = tiles_local.shape[-1]
+    pr = jax.lax.Precision.HIGHEST
+    x = tiles_local.reshape(rows_loc, gx, th, tw, c)
+
+    # x-pass: identical to the full path, batched over the local rows.
+    qx, wm, wc = xop
+    obx = wm.shape[0]
+    lhs = jnp.broadcast_to(jnp.asarray(wm)[None], (rows_loc,) + wm.shape)
+    t1 = jax.lax.dot_general(lhs, _pad_blocks(x, 1, obx)[:, :obx],
+                             (((3,), (3,)), ((0, 1), (0, 1))), precision=pr)
+    if wc is not None:                          # [rows_loc, OX, qx, th, C]
+        k = wc.shape[2]
+        tail = _pad_blocks(x[:, 1:, :, :k, :], 1, obx)[:, :obx]
+        lhs_c = jnp.broadcast_to(jnp.asarray(wc)[None],
+                                 (rows_loc,) + wc.shape)
+        t1 = t1 + jax.lax.dot_general(
+            lhs_c, tail, (((3,), (3,)), ((0, 1), (0, 1))), precision=pr)
+
+    qy, wym, wyc = yop
+    oby = wym.shape[0]
+    obp = gy_pad + 1                            # padded block range
+    out_dims = (t1.shape[1], t1.shape[2], c)    # (OX, qx, C)
+
+    wym_p = np.zeros((obp, qy, th), np.float32)
+    wym_p[:oby] = wym
+    wym_loc = jax.lax.dynamic_slice(
+        jnp.asarray(wym_p), (row0, 0, 0), (rows_loc, qy, th))
+    main = jax.lax.dot_general(wym_loc, t1, (((2,), (3,)), ((0,), (0,))),
+                               precision=pr)    # [rows_loc, qy, OX, qx, C]
+    buf = jnp.zeros((obp, qy) + out_dims, main.dtype)
+    buf = jax.lax.dynamic_update_slice(buf, main, (row0, 0, 0, 0, 0))
+    res = buf[:oby]
+
+    if wyc is not None:
+        k = wyc.shape[2]
+        # wyc_p[i] = wyc[i-1]: local block j holds the crossing weights of
+        # output block row0+j-1; placed at index row0+j in a buffer where
+        # index i means output block i-1 (row0 == 0 lands harmlessly in
+        # the dropped leading slot — its weights are zero).
+        wyc_p = np.zeros((obp + 1, qy, k), np.float32)
+        wyc_p[1:oby + 1] = wyc
+        wyc_loc = jax.lax.dynamic_slice(
+            jnp.asarray(wyc_p), (row0, 0, 0), (rows_loc, qy, k))
+        cross = jax.lax.dot_general(
+            wyc_loc, t1[:, :, :, :k, :], (((2,), (3,)), ((0,), (0,))),
+            precision=pr)
+        cbuf = jnp.zeros((obp + 1, qy) + out_dims, cross.dtype)
+        cbuf = jax.lax.dynamic_update_slice(cbuf, cross, (row0, 0, 0, 0, 0))
+        res = res + cbuf[1:oby + 1]
+    return res.reshape(out_h, out_w, c)
 
 
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2):

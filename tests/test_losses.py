@@ -330,3 +330,35 @@ def test_resize_stride_dispatch_and_fallback(monkeypatch):
         np.asarray(fell_back),
         np.asarray(L.resize_bilinear_from_tiles(tiles, grid, 19, 23)),
         atol=0)
+
+
+def test_resize_stride_tile_rows_partials_sum_to_full(monkeypatch):
+    """The stride impl's tile-sharded form: per-row-block partials must sum
+    to the full stride resize (psum semantics), including the crossing-tap
+    term that reads a neighbor shard's first rows."""
+    from feature3dgs_tpu.ops.binning import TileGrid
+    grid = TileGrid(width=50, height=35, tile_w=16, tile_h=16)  # 3x4 rows
+    rng = np.random.RandomState(11)
+    tiles = jnp.asarray(rng.randn(grid.num_tiles, grid.pixels_per_tile, 5)
+                        .astype(np.float32))
+    want = L._stride_resize_from_tiles(tiles, grid, 16, 24)
+    assert want is not None
+    n_shards, gy_pad = 4, 4
+    padded = jnp.concatenate(
+        [tiles, jnp.zeros(((gy_pad * grid.grid_x) - grid.num_tiles,)
+                          + tiles.shape[1:], tiles.dtype)])
+    rows_loc = gy_pad // n_shards
+    monkeypatch.setattr(L, "RESIZE_IMPL", "stride")
+    parts = []
+    for s in range(n_shards):
+        loc = padded[s * rows_loc * grid.grid_x:
+                     (s + 1) * rows_loc * grid.grid_x]
+        parts.append(L.resize_bilinear_from_tile_rows(
+            loc, grid, 16, 24, s * rows_loc, rows_loc, gy_pad))
+    monkeypatch.setattr(L, "RESIZE_IMPL", "matmul")
+    got = np.asarray(sum(parts))
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+    # and the dense path agrees (cross-impl consistency)
+    np.testing.assert_allclose(
+        got, np.asarray(L.resize_bilinear_from_tiles(tiles, grid, 16, 24)),
+        atol=1e-4)
