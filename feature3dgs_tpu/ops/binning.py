@@ -163,15 +163,26 @@ def expand_instances(
     # with the scene rather than the slab, and has a shorter dependency
     # chain (rects only, no slot expansion).
     gxp, gyp = grid.grid_x + 1, grid.grid_y + 1
-    one = (valid & fits).astype(jnp.int32)
+    one = (valid & fits).astype(jnp.float32)
     x0, y0 = rect_min[:, 0], rect_min[:, 1]
     x1, y1 = rect_max[:, 0], rect_max[:, 1]
-    corner_idx = jnp.concatenate([
-        y0 * gxp + x0, y0 * gxp + x1, y1 * gxp + x0, y1 * gxp + x1])
-    corner_val = jnp.concatenate([one, -one, -one, one])
-    diff = jnp.zeros((gyp * gxp,), jnp.int32).at[corner_idx].add(
-        corner_val, mode="drop")
-    c2 = jnp.cumsum(jnp.cumsum(diff.reshape(gyp, gxp), axis=1), axis=0)
+    # The corner lattice has outer-product structure: each rect contributes
+    # (e_{y0}-e_{y1}) (e_{x0}-e_{x1})^T, so diff = A^T @ B with one-hot
+    # difference factors — ONE [gyp, N]x[N, gxp] MXU pass instead of a
+    # 4N-point scatter-add (2.7 ms at 100K gaussians: collision-serialized
+    # on a ~4K lattice). ±1/0 inputs are exact in bf16 and the MXU
+    # accumulates in f32, so even the 1-pass DEFAULT contraction is
+    # integer-exact (counts < 2^24). Out-of-lattice corners (the scatter's
+    # mode="drop") simply match no one-hot column.
+    ys = jnp.arange(gyp, dtype=jnp.int32)[None, :]
+    xs = jnp.arange(gxp, dtype=jnp.int32)[None, :]
+    a = ((y0[:, None] == ys).astype(jnp.float32)
+         - (y1[:, None] == ys).astype(jnp.float32)) * one[:, None]
+    b = ((x0[:, None] == xs).astype(jnp.float32)
+         - (x1[:, None] == xs).astype(jnp.float32))
+    diff = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.DEFAULT)
+    c2 = jnp.cumsum(jnp.cumsum(diff.astype(jnp.int32), axis=1), axis=0)
     counts = c2[: grid.grid_y, : grid.grid_x].reshape(-1)
     return tile_key, depth_key, gid_signed, counts, total.astype(jnp.int32)
 
