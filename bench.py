@@ -105,11 +105,12 @@ def main(argv=None):
         rng.randn(H // 2, W // 2, F_DIM).astype(np.float32) * 0.1)
     bg = jnp.zeros(3)
 
-    # capacity sized to the true instance count (~413K) + alignment padding:
-    # every XLA pass over the instance slab (gather, segment-sum, sort,
-    # histogram) costs proportional to the STATIC capacity, not the true
-    # count — oversizing 2x costs ~20ms/step at this scale
-    rcfg = RasterConfig(instance_capacity=1 << 19, tile_capacity=1 << 11,
+    # capacity sized to the true instance count (~303K at the 32x16 tile
+    # default) + alignment padding: every XLA pass over the instance slab
+    # (gather, segment-sum, sort, histogram) costs proportional to the
+    # STATIC capacity, not the true count — oversizing 2x costs ~20ms/step
+    # at this scale
+    rcfg = RasterConfig(instance_capacity=393216, tile_capacity=1 << 11,
                         chunk=128, alpha_matmul=args.alpha_matmul)
     ocfg = OptimizationConfig()
     ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),

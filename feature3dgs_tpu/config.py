@@ -113,7 +113,10 @@ def add_optimization_args(parser: argparse.ArgumentParser):
 def add_raster_args(parser: argparse.ArgumentParser):
     g = parser.add_argument_group("Rasterizer Parameters (TPU)")
     r = RasterConfig()
-    g.add_argument("--tile_size", type=int, default=r.tile_w)
+    g.add_argument("--tile_size", type=int, default=None,
+                   help="square tile override (sets both tile_w and tile_h)")
+    g.add_argument("--tile_w", type=int, default=r.tile_w)
+    g.add_argument("--tile_h", type=int, default=r.tile_h)
     g.add_argument("--chunk", type=int, default=r.chunk)
     g.add_argument("--instance_capacity", type=int, default=r.instance_capacity)
     g.add_argument("--tile_capacity", type=int, default=r.tile_capacity)
@@ -158,8 +161,13 @@ def extract_optimization(args) -> OptimizationConfig:
 
 
 def extract_raster(args) -> RasterConfig:
+    tile_size = getattr(args, "tile_size", None)
+    tile_w = tile_size if tile_size else getattr(
+        args, "tile_w", RasterConfig.tile_w)
+    tile_h = tile_size if tile_size else getattr(
+        args, "tile_h", RasterConfig.tile_h)
     return RasterConfig(
-        tile_w=args.tile_size, tile_h=args.tile_size, chunk=args.chunk,
+        tile_w=tile_w, tile_h=tile_h, chunk=args.chunk,
         instance_capacity=args.instance_capacity,
         tile_capacity=args.tile_capacity, precision=args.matmul_precision)
 

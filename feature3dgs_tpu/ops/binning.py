@@ -129,6 +129,18 @@ def expand_instances(
     # Local tile within the Gaussian's rect, row-major like duplicateWithKeys.
     # One fused [N,8] f32 table gather (five separate gathers cost ~1ms each
     # at 256K slots); all values are small integers, exact in f32.
+    # The per-slot math runs in [L/128, 128] 2-D: 1-D [L] arrays get the
+    # T(1024) layout and extracting the gathered table columns into it is a
+    # 1.8 ms kLoop relayout at 512K slots (profile round 5); the 2-D-indexed
+    # gather + [:, :, k] slices keep everything (8,128)-tiled (measured
+    # 7.66 vs 9.09 ms in scripts/micro_expand.py) and the final reshape back
+    # to [L] is a free bitcast (a (8,128) row-major tile IS 1024 consecutive
+    # elements). Values are bit-identical.
+    if instance_capacity % 128:
+        raise ValueError(
+            f"instance_capacity {instance_capacity} must be a multiple of "
+            "128 (2-D (8,128)-tiled expansion)")
+    rrows = instance_capacity // 128
     table = jnp.stack([
         offsets.astype(jnp.float32),
         jnp.maximum(widths, 1).astype(jnp.float32),
@@ -136,23 +148,25 @@ def expand_instances(
         rect_min[:, 1].astype(jnp.float32),
         depth.astype(jnp.float32),
     ], axis=1)
-    gathered = table[gid]                        # [L, 5]
-    local = slots.astype(jnp.float32) - gathered[:, 0]
-    w_g = gathered[:, 1]
+    gathered = table[gid.reshape(rrows, 128)]    # [L/128, 128, 5]
+    local = slots.astype(jnp.float32).reshape(rrows, 128) - gathered[:, :, 0]
+    w_g = gathered[:, :, 1]
     # TPU has no hardware integer divide; use f32 reciprocal-multiply with a
     # one-step exact fixup (local < 2^23 so all quantities are f32-exact).
     q = jnp.floor(local * (1.0 / w_g))
     r = local - q * w_g
     q = q + jnp.where(r >= w_g, 1.0, 0.0) - jnp.where(r < 0.0, 1.0, 0.0)
     r = local - q * w_g
-    ty = gathered[:, 3] + q
-    tx = gathered[:, 2] + r
+    ty = gathered[:, :, 3] + q
+    tx = gathered[:, :, 2] + r
     tile_id = (ty * grid.grid_x + tx).astype(jnp.int32)
 
     # Invalid slots sort to the end.
     sentinel_tile = jnp.int32(grid.num_tiles)
-    tile_key = jnp.where(slot_valid, tile_id, sentinel_tile)
-    depth_key = jnp.where(slot_valid, gathered[:, 4], jnp.float32(jnp.inf))
+    valid2 = slot_valid.reshape(rrows, 128)
+    tile_key = jnp.where(valid2, tile_id, sentinel_tile).reshape(-1)
+    depth_key = jnp.where(
+        valid2, gathered[:, :, 4], jnp.float32(jnp.inf)).reshape(-1)
     gid_signed = jnp.where(slot_valid, gid, jnp.int32(-1))
 
     # Per-tile true counts (identifyTileRanges analog) via a 2-D difference

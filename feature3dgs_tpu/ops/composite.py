@@ -162,8 +162,11 @@ def _composite_fwd_impl(tile_lists, pix_xy, xy, conic, opacity, rgb, feat,
 
         log1m = jnp.log1p(-alpha)                       # [T,K,P]
         cum = jnp.cumsum(log1m, axis=1)                 # inclusive
-        t_after = trans[:, None, :] * jnp.exp(cum)      # T * P_k (incl. k)
         t_before = trans[:, None, :] * jnp.exp(cum - log1m)
+        # T after splat k as the CUDA sequential product step T*(1-alpha)
+        # (forward.cu:337,359) — formulation-matched with the Pallas
+        # forward kernel so the T_EPS cut (mask, n_contrib) agrees exactly.
+        t_after = t_before * (1.0 - alpha)
         live = jnp.logical_not(done)[:, None, :]
         mask = contrib_ok & (t_after >= T_EPS) & live
         w = jnp.where(mask, alpha * t_before, 0.0)      # [T,K,P]

@@ -80,6 +80,23 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _pick_tpp(t_tiles: int, requested: int) -> int:
+    """Pick tiles_per_program as a DIVISOR of t_tiles near the requested
+    value (searching [requested/2, 2*requested], nearest-first, preferring
+    the larger on ties). A non-divisor forces t_pad > t_tiles, and slicing
+    the padded kernel outputs back to t_tiles copies the full [T,P,C]
+    feature buffers (~1.5 ms per 0.5 GB at 1216x800x128f, each way —
+    profile round 5); tpp 8 vs 16 itself measured neutral. Falls back to
+    the requested value (pad-and-slice) when no divisor exists."""
+    req = max(1, requested)
+    best = 0
+    for d in range(max(1, req // 2), min(2 * req, max(t_tiles, 1)) + 1):
+        if t_tiles % d == 0 and (best == 0
+                                 or abs(d - req) <= abs(best - req)):
+            best = d
+    return best or req
+
+
 def slab_width(f_dim: int) -> int:
     return _ceil_to(feat_offset(f_dim) + f_dim, LANE)
 
@@ -113,6 +130,8 @@ def _tri(k: int, kind: str):
     kj = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
     if kind == "lower_inc":
         m = kj <= ki
+    elif kind == "lower_str":
+        m = kj < ki
     elif kind == "upper_inc":
         m = kj >= ki
     else:  # upper_str
@@ -185,7 +204,7 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
     p = tile_w * tile_h
     krow = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    tril = _tri(k_chunk, "lower_inc")
+    tril_str = _tri(k_chunk, "lower_str")
 
     def chunk_dma(buf, sems, slot, start, i):
         off = pl.multiple_of(
@@ -266,7 +285,13 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 jnp.minimum(start + i * k_chunk, l_cap - k_chunk), 8)
             gg = buf[slot]                         # [K, C_pad]
             ca, cb, cc = gg[:, 2:3], gg[:, 3:4], gg[:, 4:5]
-            op = gg[:, 5:6]
+            # tail masking folded into opacity ([K,1], not a [K,P] AND):
+            # absolute index start + i*K + k must be < start+count (off may
+            # have been clamped back from the slab end); op=0 makes
+            # araw=0 < ALPHA_MIN, excluding the row exactly like the old
+            # three-way `ok` conjunction.
+            abs_k = off + krow
+            op = jnp.where(abs_k < start + count, gg[:, 5:6], 0.0)
             if alpha_mm:
                 coeff, _, _ = _alpha_coeff(gg, ca, cb, cc, ox, oy)
                 power = _mm(coeff, mono, ((1,), (0,)))   # [K,8]x[8,P]
@@ -275,19 +300,18 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 dy = gg[:, 1:2] - py
                 power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
             araw = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            # tail masking: absolute index start + i*K + k must be <
-            # start+count (off may have been clamped back from the slab end)
-            abs_k = off + krow
-            in_count = abs_k < start + count
-            ok = (power <= 0.0) & (araw >= ALPHA_MIN) & in_count
+            ok = (power <= 0.0) & (araw >= ALPHA_MIN)
             alpha = jnp.where(ok, araw, 0.0)
             log1m = jnp.log1p(-alpha)
-            cum = _mm(tril, log1m, ((1,), (0,)))
+            # strict-prefix scan -> T BEFORE splat k; T after = the CUDA
+            # sequential product step T*(1-alpha) (forward.cu:337,359) —
+            # one [K,P] exp instead of two (ops/composite.py mirrors this).
+            cum_str = _mm(tril_str, log1m, ((1,), (0,)))
             t_in = tcar[...]                        # [1, P]
-            t_after = t_in * jnp.exp(cum)
-            t_before = t_in * jnp.exp(cum - log1m)
-            lv = live[...] > 0.0
-            mask = ok & (t_after >= T_EPS) & lv
+            t_before = t_in * jnp.exp(cum_str)
+            t_after = t_before * (1.0 - alpha)
+            okl = ok & (live[...] > 0.0)
+            mask = okl & (t_after >= T_EPS)
             w = jnp.where(mask, alpha * t_before, 0.0)
 
             if split:
@@ -305,8 +329,9 @@ def _fwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
 
             tcar[...] = t_in * jnp.exp(
                 jnp.sum(jnp.where(mask, log1m, 0.0), axis=0, keepdims=True))
-            terminated = jnp.any(ok & (t_after < T_EPS) & lv, axis=0,
-                                 keepdims=True)
+            # a live contributor below the T_EPS floor terminates the pixel:
+            # okl & (t_after < T_EPS) == okl ^ mask (mask is okl & >=T_EPS)
+            terminated = jnp.any(okl ^ mask, axis=0, keepdims=True)
             live[...] = jnp.where(terminated, 0.0, live[...])
             pos = abs_k - start + 1               # 1-based position in list
             ncon[...] = jnp.maximum(
@@ -381,7 +406,7 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
     c_feat = c_pad - LANE
     starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)
 
-    tpp = max(1, tiles_per_program)
+    tpp = _pick_tpp(t_tiles, tiles_per_program)
     t_pad = _ceil_to(t_tiles, tpp)
     if t_pad != t_tiles:
         zpad = jnp.zeros((t_pad - t_tiles,), jnp.int32)
@@ -631,7 +656,10 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             off = chunk_off(i)
             gg = buf[slot]                               # [K, C_pad]
             ca, cb, cc = gg[:, 2:3], gg[:, 3:4], gg[:, 4:5]
-            op = gg[:, 5:6]
+            # tail mask folded into opacity ([K,1] select instead of a
+            # [K,P] AND); see _fwd_kernel
+            abs_k = off + krow
+            op = jnp.where(abs_k < start + count, gg[:, 5:6], 0.0)
             if alpha_mm:
                 coeff, xl, yl = _alpha_coeff(gg, ca, cb, cc, ox, oy)
                 power = _mm(coeff, mono, ((1,), (0,)))
@@ -640,12 +668,14 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 dx = gg[:, 0:1] - px
                 dy = gg[:, 1:2] - py
                 power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            gexp = jnp.exp(power)
+            # power>0 rows are never contributors (ok below), so clamping
+            # the exponent is value-identical where it matters and keeps
+            # gexp finite — the grad products gexp*dl_da then vanish exactly
+            # on masked rows (dl_da==0) without per-term where guards.
+            gexp = jnp.exp(jnp.minimum(power, 0.0))
             araw = jnp.minimum(ALPHA_MAX, op * gexp)
-            abs_k = off + krow
-            in_count = abs_k < start + count
             pos0 = abs_k - start                         # 0-based
-            ok = (power <= 0.0) & (araw >= ALPHA_MIN) & in_count
+            ok = (power <= 0.0) & (araw >= ALPHA_MIN)
             mask = ok & (pos0 < ncontrib)
             alpha = jnp.where(mask, araw, 0.0)
             log1m = jnp.log1p(-alpha)
@@ -681,8 +711,10 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
             dl_da = jnp.where(
                 mask, t_before * u - (s_within + s_carry) / one_minus, 0.0)
 
-            dl_dop = jnp.sum(jnp.where(mask, gexp * dl_da, 0.0), axis=1)
-            dl_dpow = jnp.where(mask, op * gexp * dl_da, 0.0)
+            # dl_da is already exactly 0 on masked-out rows and gexp is
+            # finite (clamped), so the products need no where guards
+            dl_dop = jnp.sum(gexp * dl_da, axis=1)
+            dl_dpow = op * (gexp * dl_da)
             if alpha_mm:
                 # one [K,P]x[P,8] matmul replaces the five [K,P] multiply+
                 # reduce chains; the coeff->(x,y,conic) chain rule is [K,1]
@@ -700,11 +732,21 @@ def _bwd_kernel(starts_ref, counts_ref, tbase_ref, slab_hbm, *refs,
                 d_cc = (dc[0] * (-0.5 * yl * yl) + dc[2] * yl
                         - 0.5 * dc[5])[:, 0]
             else:
-                d_x = jnp.sum(-(ca * dx + cb * dy) * dl_dpow, axis=1)
-                d_y = jnp.sum(-(cc * dy + cb * dx) * dl_dpow, axis=1)
-                d_ca = jnp.sum(-0.5 * dx * dx * dl_dpow, axis=1)
-                d_cb = jnp.sum(-dx * dy * dl_dpow, axis=1)
-                d_cc = jnp.sum(-0.5 * dy * dy * dl_dpow, axis=1)
+                # Factor the [K,1] per-splat constants (ca, cb, cc, -0.5)
+                # out of the lane reductions: 5 [K,P] products (m1, m2 and
+                # three second moments) replace the ~14 of the distributed
+                # form; the [K,1] recombination is vreg-cheap. Float
+                # reassociation only (sum-then-scale vs scale-then-sum),
+                # within the 5e-6 differential tolerances.
+                m1 = dx * dl_dpow
+                m2 = dy * dl_dpow
+                s1 = jnp.sum(m1, axis=1, keepdims=True)   # [K,1]
+                s2 = jnp.sum(m2, axis=1, keepdims=True)
+                d_x = -(ca * s1 + cb * s2)[:, 0]
+                d_y = -(cc * s2 + cb * s1)[:, 0]
+                d_ca = -0.5 * jnp.sum(dx * m1, axis=1)
+                d_cb = -jnp.sum(dy * m1, axis=1)
+                d_cc = -0.5 * jnp.sum(dy * m2, axis=1)
             zeros_k = jnp.zeros_like(d_x)
 
             if split:
@@ -848,7 +890,7 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
     c_feat = c_pad - LANE
     starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)
 
-    tpp = max(1, tiles_per_program)
+    tpp = _pick_tpp(t_tiles, tiles_per_program)
     t_pad = _ceil_to(t_tiles, tpp)
     if t_pad != t_tiles:
         zpad = jnp.zeros((t_pad - t_tiles,), jnp.int32)

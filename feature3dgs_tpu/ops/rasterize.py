@@ -37,7 +37,17 @@ from feature3dgs_tpu.ops.binning import TileGrid
 class RasterConfig:
     """Static rasterizer configuration (hashable; safe as a jit static arg).
 
-    tile_w/tile_h: pixel tile size (reference uses 16x16, config.h:18-19).
+    tile_w/tile_h: pixel tile size. The reference uses 16x16 CUDA blocks
+      (config.h:18-19); the TPU default is 32x16 — measured round 5:
+      ~26% fewer (Gaussian, tile) instances (shrinking the sort, pack,
+      slab DMA and the backward's segment-sum with it) and half the
+      per-tile serial overhead in the kernels, for -4 ms/step at the
+      bench config (32x32 regresses: per-chunk [K,P] work quadruples).
+      Per-pixel compositing is tile-size-independent except for splats
+      whose alpha still exceeds 1/255 beyond their 3-sigma rect margin:
+      tile granularity decides which pixels test them (exactly as in the
+      reference's own tiling), so 16x16 remains available for bit-level
+      comparison against the CUDA tiling semantics.
     chunk: splats processed per compositing step; pix-x-chunk weight blocks
       feed the MXU, so multiples of 8 with chunk*pixels_per_tile "deep enough"
       matmuls work best.
@@ -46,7 +56,7 @@ class RasterConfig:
     tile_capacity: max splats per tile list; farthest splats drop on overflow.
     """
 
-    tile_w: int = 16
+    tile_w: int = 32
     tile_h: int = 16
     chunk: int = 32
     # 0 = auto (Trainer sizes it from the point count and grows on

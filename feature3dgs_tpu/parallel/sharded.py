@@ -408,9 +408,10 @@ def _make_exchange_loss_fn(cam_arrays, gt_images, gt_features, bg, gstate,
     t_loc = t_pad // n_tile
     rows_loc = t_loc // grid.grid_x
     i_cap = rcfg.instance_capacity_or_default
-    # static exchange capacities (8-aligned): per-source per-camera
-    # expansion slots, and the per-(src,dst)-pair routing budget
-    l_src = -(-int(slack * i_cap) // (8 * d_tot)) * 8
+    # static exchange capacities: per-source per-camera expansion slots
+    # (128-aligned — expand_instances' 2-D (8,128) layout requires it), and
+    # the per-(src,dst)-pair routing budget (8-aligned)
+    l_src = -(-int(slack * i_cap) // (128 * d_tot)) * 128
     cap_pair = -(-int(slack * i_cap) // (8 * n_tile * d_tot)) * 8
     k_chunk = min(max(rcfg.chunk, 8), 256)
     wh = np.asarray([width, height], np.float32)

@@ -187,15 +187,19 @@ class Trainer:
         n = scene.points.shape[0]
         # Right-size the instance bucket to the scene (instance_capacity==0
         # means auto): freshly initialized Gaussians (KNN-scaled) touch
-        # ~1-6 tiles each; start at ~8N and let the overflow re-jit grow
-        # it. A static 1<<20 bucket on a 100K-point scene costs ~20% extra
-        # step time in slab-length XLA passes.
+        # ~1-5 tiles each at the 32x16 tile default (was ~1-6 at 16x16;
+        # instances/Gaussian measured -26% in round 5); start at ~6N and
+        # let the overflow re-jit grow it. A static 1<<20 bucket on a
+        # 100K-point scene costs ~20% extra step time in slab-length XLA
+        # passes.
         if not self.rcfg.instance_capacity:
-            auto_cap = _round_capacity(max(1 << 17, 8 * n))
+            tile_scale = 512 / (self.rcfg.tile_w * self.rcfg.tile_h)
+            auto_cap = _round_capacity(
+                max(1 << 17, int(6 * max(tile_scale, 1.0) * n)))
             self.rcfg = dataclasses.replace(
                 self.rcfg, instance_capacity=auto_cap)
             print(f"[raster] auto instance capacity: {auto_cap} "
-                  f"(~8x {n} points; grows on overflow)")
+                  f"({n} points; grows on overflow)")
         capacity = _round_capacity(int(n * capacity_headroom))
         params, gstate = G.create_from_pcd(
             scene.points, scene.colors, max_sh_degree=max_sh_degree,

@@ -31,7 +31,7 @@ def main(argv=None):
                     help="frames per batched render call "
                          "(renderer.render_batch; amortizes the per-frame "
                          "preprocess/binning fixed cost)")
-    ap.add_argument("--instance_capacity", type=int, default=1 << 19)
+    ap.add_argument("--instance_capacity", type=int, default=393216)
     ap.add_argument("--tile_capacity", type=int, default=1 << 11)
     args = ap.parse_args(argv)
 

@@ -84,7 +84,7 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=1216)
     parser.add_argument("--height", type=int, default=800)
     parser.add_argument("--iters", type=int, default=3)
-    parser.add_argument("--instance_capacity", type=int, default=1 << 19)
+    parser.add_argument("--instance_capacity", type=int, default=393216)
     parser.add_argument("--tile_capacity", type=int, default=1 << 11)
     parser.add_argument("--backend", type=str, default="auto")
     parser.add_argument("--small", action="store_true",

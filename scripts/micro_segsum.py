@@ -46,6 +46,20 @@ def main(argv=None):
     def plain(d, s):
         return jnp.zeros((n + 1, c), jnp.float32).at[s].add(d)[:n]
 
+    def oob_drop(d, s):
+        # dead rows get an OUT-OF-BOUNDS index and mode="drop": the scatter
+        # skips those updates outright instead of serializing ~25% of all
+        # rows onto the single dropped-segment row n.
+        s2 = jnp.where(s >= n, jnp.int32(n + 1), s)
+        return jnp.zeros((n, c), jnp.float32).at[s2].add(d, mode="drop")
+
+    def spill_spread(d, s):
+        # dead rows spread over 1024 spill segments (collision relief while
+        # staying in bounds)
+        spill = n + (jnp.arange(l, dtype=jnp.int32) & 1023)
+        s2 = jnp.where(s >= n, spill, s)
+        return jnp.zeros((n + 1024, c), jnp.float32).at[s2].add(d)[:n]
+
     def sorted_fused(d, s):
         # ONE jit: sort ids (carrying the slot permutation), then a
         # sorted-indices scatter whose update operand is the row gather —
@@ -64,6 +78,8 @@ def main(argv=None):
 
     ref = None
     for name, fn in (("plain_at_add", plain),
+                     ("oob_drop", oob_drop),
+                     ("spill_spread", spill_spread),
                      ("sorted_fused", sorted_fused),
                      ("sorted_materialized", sorted_materialized)):
         f = jax.jit(fn)

@@ -77,6 +77,8 @@ def main(argv=None):
     ap.add_argument("--instance_capacity", type=int, default=1 << 19)
     ap.add_argument("--tpp", type=int, default=8,
                     help="kernel tiles_per_program")
+    ap.add_argument("--tile_w", type=int, default=16)
+    ap.add_argument("--tile_h", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--save", type=str, default=None,
                     help="also copy the raw trace.json.gz here")
@@ -136,7 +138,8 @@ def main(argv=None):
     bg = jnp.zeros(3)
     rcfg = RasterConfig(instance_capacity=args.instance_capacity,
                         tile_capacity=1 << 11, chunk=args.chunk,
-                        tiles_per_program=args.tpp)
+                        tiles_per_program=args.tpp,
+                        tile_w=args.tile_w, tile_h=args.tile_h)
     ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),
                     decoder=None, decoder_adam=None)
     f = jax.jit(functools.partial(
