@@ -118,6 +118,8 @@ def add_raster_args(parser: argparse.ArgumentParser):
     g.add_argument("--tile_w", type=int, default=r.tile_w)
     g.add_argument("--tile_h", type=int, default=r.tile_h)
     g.add_argument("--chunk", type=int, default=r.chunk)
+    g.add_argument("--bwd_chunk", type=int, default=r.bwd_chunk,
+                   help="backward-kernel chunk (0 = same as --chunk)")
     g.add_argument("--instance_capacity", type=int, default=r.instance_capacity)
     g.add_argument("--tile_capacity", type=int, default=r.tile_capacity)
     g.add_argument("--matmul_precision", type=str, default=r.precision,
@@ -168,6 +170,7 @@ def extract_raster(args) -> RasterConfig:
         args, "tile_h", RasterConfig.tile_h)
     return RasterConfig(
         tile_w=tile_w, tile_h=tile_h, chunk=args.chunk,
+        bwd_chunk=getattr(args, "bwd_chunk", RasterConfig.bwd_chunk),
         instance_capacity=args.instance_capacity,
         tile_capacity=args.tile_capacity, precision=args.matmul_precision)
 

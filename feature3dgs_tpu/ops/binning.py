@@ -120,8 +120,10 @@ def expand_instances(
     # to log2(N) strided gathers per slot on TPU — ~30ms at 256K slots; the
     # scatter+cumsum form is memory-bound.)
     slots = jnp.arange(instance_capacity, dtype=jnp.int32)
+    # offsets is an exclusive cumsum, hence non-decreasing: tell the
+    # scatter so (duplicates at empty segments are fine for add)
     markers = jnp.zeros((instance_capacity,), jnp.int32).at[offsets].add(
-        1, mode="drop")
+        1, mode="drop", indices_are_sorted=True)
     gid = jnp.cumsum(markers) - 1
     gid = jnp.clip(gid, 0, n - 1)
     slot_valid = slots < fit_total

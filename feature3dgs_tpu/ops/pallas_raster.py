@@ -80,17 +80,24 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_tpp(t_tiles: int, requested: int) -> int:
+def _pick_tpp(t_tiles: int, requested: int, p: int, c_wide: int) -> int:
     """Pick tiles_per_program as a DIVISOR of t_tiles near the requested
     value (searching [requested/2, 2*requested], nearest-first, preferring
     the larger on ties). A non-divisor forces t_pad > t_tiles, and slicing
     the padded kernel outputs back to t_tiles copies the full [T,P,C]
     feature buffers (~1.5 ms per 0.5 GB at 1216x800x128f, each way —
-    profile round 5); tpp 8 vs 16 itself measured neutral. Falls back to
-    the requested value (pad-and-slice) when no divisor exists."""
-    req = max(1, requested)
+    profile round 5); tpp 8 vs 16 itself measured neutral. The double-
+    buffered per-tile pixel blocks cost ~p*c_wide*4*2 bytes of scoped VMEM
+    each, so tpp is capped to a ~9 MiB budget — the v5e scoped limit is
+    16 MiB and the rest goes to the chunk double-buffers and Mosaic stack
+    (F=512 at 32x16 tiles OOMed at tpp=10 by 6 MiB and at tpp=5 by 94 KiB).
+    Falls back to the requested value (pad-and-slice) when no divisor
+    exists."""
+    budget_tpp = max(1, (9 << 20) // max(p * c_wide * 4 * 2, 1))
+    req = max(1, min(requested, budget_tpp))
     best = 0
-    for d in range(max(1, req // 2), min(2 * req, max(t_tiles, 1)) + 1):
+    for d in range(max(1, req // 2), min(2 * req, budget_tpp,
+                                         max(t_tiles, 1)) + 1):
         if t_tiles % d == 0 and (best == 0
                                  or abs(d - req) <= abs(best - req)):
             best = d
@@ -406,7 +413,8 @@ def forward(starts, counts, slab, grid: TileGrid, *, k_chunk: int = 64,
     c_feat = c_pad - LANE
     starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)
 
-    tpp = _pick_tpp(t_tiles, tiles_per_program)
+    tpp = _pick_tpp(t_tiles, tiles_per_program,
+                    p, c_feat if split else c_pad)
     t_pad = _ceil_to(t_tiles, tpp)
     if t_pad != t_tiles:
         zpad = jnp.zeros((t_pad - t_tiles,), jnp.int32)
@@ -890,7 +898,8 @@ def backward(starts, counts, slab, gpix_misc, gpix_feat, g_finalt, finalt,
     c_feat = c_pad - LANE
     starts, counts = _clamp_segments(starts, counts, l_cap, k_chunk)
 
-    tpp = _pick_tpp(t_tiles, tiles_per_program)
+    tpp = _pick_tpp(t_tiles, tiles_per_program,
+                    p, c_feat if split else c_pad)
     t_pad = _ceil_to(t_tiles, tpp)
     if t_pad != t_tiles:
         zpad = jnp.zeros((t_pad - t_tiles,), jnp.int32)
@@ -1064,12 +1073,14 @@ def pack_instances(gid_aligned, xy, conic, opacity, rgb, feat, depth):
     return slab, seg_ids
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
 def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
                      xy, conic, opacity, rgbfeat, depth, tile_base,
                      grid: TileGrid, k_chunk: int, feature_alpha_grad: bool,
                      interpret: bool, tiles_per_program: int = 8,
-                     alpha_matmul: bool = False) -> PallasCompositeOutput:
+                     alpha_matmul: bool = False,
+                     k_chunk_bwd: int = 0) -> PallasCompositeOutput:
     """Pallas-kernel compositing, drop-in parallel of composite.composite.
 
     gid_sorted is BinningResult.gid_sorted (8-aligned segments with -1
@@ -1083,13 +1094,14 @@ def composite_pallas(tile_starts, tile_counts, gid_sorted, total,
     out, _ = _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic,
                      opacity, rgbfeat, depth, tile_base, grid, k_chunk,
                      feature_alpha_grad, interpret, tiles_per_program,
-                     alpha_matmul)
+                     alpha_matmul, k_chunk_bwd)
     return out
 
 
 def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
             rgbfeat, depth, tile_base, grid, k_chunk, feature_alpha_grad,
-            interpret, tiles_per_program=8, alpha_matmul=False):
+            interpret, tiles_per_program=8, alpha_matmul=False,
+            k_chunk_bwd=0):
     rgb, feat = rgbfeat
     f_dim = feat.shape[-1]
     slab, seg_ids = pack_instances(
@@ -1109,7 +1121,12 @@ def _cp_fwd(tile_starts, tile_counts, gid_sorted, total, xy, conic, opacity,
 
 
 def _cp_bwd(grid, k_chunk, feature_alpha_grad, interpret, tiles_per_program,
-            alpha_matmul, res, cts):
+            alpha_matmul, k_chunk_bwd, res, cts):
+    # The backward kernel may use its own chunk length (measured on v5e at
+    # 32x16 tiles: the backward prefers K=64 — smaller triangular matmuls
+    # and masked waste — while the forward prefers K=128; see
+    # docs/tpu_notes.md round-5 chunk A/B). 0 means "same as forward".
+    k_chunk = min(max(k_chunk_bwd, 8), 256) if k_chunk_bwd else k_chunk
     (tile_starts, tile_counts, slab, seg_ids, finalt, ncontrib,
      n, f_dim, tile_base) = res
     d_color, d_feature, d_depth, d_finalt, _d_nc = cts

@@ -32,6 +32,25 @@ from feature3dgs_tpu.ops import binning as binning_lib
 from feature3dgs_tpu.ops import composite as composite_lib
 from feature3dgs_tpu.ops.binning import TileGrid
 
+# Opacity-aware binning rects (see rect_radius): exact work elimination,
+# on by default; module switch for A/B measurement and for bit-level
+# comparison against the reference's fixed 3-sigma AABB candidate sets.
+RECT_OPACITY_AWARE = True
+
+
+def rect_radius(radius: jnp.ndarray, opacity: jnp.ndarray) -> jnp.ndarray:
+    """Binning-only rect radius, shared by rasterize and parallel.sharded
+    (the radii/visibility OUTPUTS always keep the reference 3-sigma
+    `radius`). See the long note at the _prep_view call site."""
+    if not RECT_OPACITY_AWARE:
+        return radius
+    op_sg = jax.lax.stop_gradient(opacity)
+    return jnp.minimum(
+        radius,
+        jnp.ceil((radius / 3.0) * jnp.sqrt(2.0 * jnp.maximum(
+            jnp.log(jnp.maximum(op_sg, 1e-12) / composite_lib.ALPHA_MIN),
+            0.0))) + 1.0)
+
 
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
@@ -58,7 +77,13 @@ class RasterConfig:
 
     tile_w: int = 32
     tile_h: int = 16
-    chunk: int = 32
+    # chunk: forward-kernel splat window; bwd_chunk: the backward's own
+    # (0 = same as chunk). Measured on v5e at 32x16 tiles (round 5): the
+    # forward prefers K=128 (fewer loop iterations), the backward K=64
+    # (smaller triangular matmuls + masked tail waste): 6.8 + 9.6 ms vs
+    # 8.7 + 9.6 at K=64 both / 6.8 + 10.7 at K=128 both.
+    chunk: int = 128
+    bwd_chunk: int = 64
     # 0 = auto (Trainer sizes it from the point count and grows on
     # overflow; direct rasterize() callers get the 1<<20 fallback). Every
     # XLA pass over the instance slab bills the STATIC capacity, so
@@ -160,8 +185,28 @@ def _prep_view(means3d, opacities, cam, grid, *, scales, rotations,
         wh = jnp.asarray([cam.width, cam.height], xy.dtype)
         xy = xy + ndc_offset * wh * 0.5
 
+    # Opacity-aware rect radius — exact work elimination. A pixel at
+    # distance d from the mean has power <= -0.5*d^2/lam_max, so
+    # alpha = min(.99, op*exp(power)) < ALPHA_MIN strictly whenever
+    # d > sqrt(2*ln(op/ALPHA_MIN))*sigma_max: both compositing kernels
+    # mask such candidates to exactly zero (fwd weight AND bwd grads), so
+    # tiles beyond that radius contribute nothing. Dropping them leaves
+    # outputs equal up to <=1 ulp: the contributing set and its depth
+    # order are identical, but chunk boundaries shift, regrouping the
+    # log-domain transmittance cumsums (measured 6e-8 max color delta;
+    # same class as the vmap FMA-grouping note in docs/tpu_notes.md), and
+    # n_contrib positions renumber (it counts list slots, and
+    # never-contributing slots vanish). The reference always rasterizes
+    # the full 3-sigma AABB (forward.cu:228-231) — pure wasted candidates
+    # for low-opacity splats (op<0.35; e.g. after every opacity reset,
+    # op=0.01 shrinks the rect ~5x). sigma_max <= pre.radius/3 (radius is
+    # the CEILED 3-sigma, conservative) and +1px covers f32 boundary
+    # rounding of the analytic bound vs the kernels' quadratic. The
+    # radii/visibility OUTPUTS keep the reference 3-sigma value, so
+    # densification statistics and pruning semantics are untouched.
     rect_min, rect_max = proj_lib.tile_rect(
-        xy, pre.radius, grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
+        xy, rect_radius(pre.radius, pre.opacity),
+        grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
     area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
     valid = pre.valid & (area > 0)
     if active_mask is not None:
@@ -228,7 +273,7 @@ def rasterize(
             xy, pre.conic, pre.opacity, (pre.rgb, semantic_features),
             pre.depth, None, grid, min(max(config.chunk, 8), 256),
             config.feature_alpha_grad, config.backend == "pallas_interpret",
-            config.tiles_per_program, config.alpha_matmul)
+            config.tiles_per_program, config.alpha_matmul, config.bwd_chunk)
     else:
         out = composite_lib.composite(
             bins.tile_lists, composite_lib.tile_pixel_coords(grid, xy.dtype),

@@ -42,7 +42,7 @@ from feature3dgs_tpu.model.decoder import apply_decoder
 from feature3dgs_tpu.ops import RasterConfig
 from feature3dgs_tpu.ops import binning as binning_lib
 from feature3dgs_tpu.ops import composite as composite_lib
-from feature3dgs_tpu.ops.rasterize import tiles_to_image
+from feature3dgs_tpu.ops.rasterize import rect_radius, tiles_to_image
 from feature3dgs_tpu.train import losses as L
 
 
@@ -86,8 +86,11 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
         wh = jnp.asarray([cam.width, cam.height], xy.dtype)
         xy = xy + ndc_offset * wh * 0.5
 
+    # opacity-aware binning rects — same exact work elimination as the
+    # single-device path (rasterize.rect_radius); outputs keep 3-sigma radii
     rect_min, rect_max = proj_lib.tile_rect(
-        xy, pre.radius, grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
+        xy, rect_radius(pre.radius, pre.opacity),
+        grid.grid_x, grid.grid_y, grid.tile_w, grid.tile_h)
     area = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
     valid = pre.valid & (area > 0) & state.alive
 
@@ -130,7 +133,8 @@ def _local_composite(params, state, cam: CameraView, bg, config, n_tile,
             xy, pre.conic, pre.opacity, (pre.rgb, G.get_semantic(params)),
             pre.depth, tile_base, grid, min(max(config.chunk, 8), 256),
             config.feature_alpha_grad, backend == "pallas_interpret",
-            config.tiles_per_program, config.alpha_matmul)
+            config.tiles_per_program, config.alpha_matmul,
+            config.bwd_chunk)
     else:
         pix_xy = composite_lib.tile_pixel_coords(grid, xy.dtype)
         tl = _pad_tiles(bins.tile_lists, row_mult, -1)
@@ -464,7 +468,8 @@ def _make_exchange_loss_fn(cam_arrays, gt_images, gt_features, bg, gstate,
                         sh_degree=gstate.active_sh_degree)
                     xy = pre.xy + off_loc * jnp.asarray(wh) * 0.5
                     rect_min, rect_max = proj_lib.tile_rect(
-                        xy, pre.radius, grid.grid_x, grid.grid_y,
+                        xy, rect_radius(pre.radius, pre.opacity),
+                        grid.grid_x, grid.grid_y,
                         grid.tile_w, grid.tile_h)
                     area = ((rect_max[:, 0] - rect_min[:, 0])
                             * (rect_max[:, 1] - rect_min[:, 1]))
@@ -547,7 +552,8 @@ def _make_exchange_loss_fn(cam_arrays, gt_images, gt_features, bg, gstate,
                     misc_b[:, 0:2], misc_b[:, 2:5], misc_b[:, 5],
                     (misc_b[:, 6:9], feat_full), misc_b[:, 9],
                     ti * t_loc, grid, k_chunk, rcfg.feature_alpha_grad,
-                    interpret, rcfg.tiles_per_program, rcfg.alpha_matmul)
+                    interpret, rcfg.tiles_per_program, rcfg.alpha_matmul,
+                    rcfg.bwd_chunk)
 
                 color_l = out.color + out.final_T[..., None] * bg
                 color = tiles_to_image(jax.lax.all_gather(

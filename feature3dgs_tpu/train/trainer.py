@@ -187,15 +187,16 @@ class Trainer:
         n = scene.points.shape[0]
         # Right-size the instance bucket to the scene (instance_capacity==0
         # means auto): freshly initialized Gaussians (KNN-scaled) touch
-        # ~1-5 tiles each at the 32x16 tile default (was ~1-6 at 16x16;
-        # instances/Gaussian measured -26% in round 5); start at ~6N and
-        # let the overflow re-jit grow it. A static 1<<20 bucket on a
-        # 100K-point scene costs ~20% extra step time in slab-length XLA
-        # passes.
+        # ~1-4 tiles each at the 32x16 tile default (measured 3.05/point
+        # at op=0.5, ~2.2 with the opacity-aware rects at the op=0.1
+        # init); start at ~3.5N and let the overflow re-jit grow it (one
+        # ~3 min tunnel recompile, amortized over the run — capacity cost
+        # is paid EVERY step: the 2.6x bucket the old 6N start picked was
+        # ~15% of step time in slab-length XLA passes).
         if not self.rcfg.instance_capacity:
             tile_scale = 512 / (self.rcfg.tile_w * self.rcfg.tile_h)
             auto_cap = _round_capacity(
-                max(1 << 17, int(6 * max(tile_scale, 1.0) * n)))
+                max(1 << 17, int(3.5 * max(tile_scale, 1.0) * n)))
             self.rcfg = dataclasses.replace(
                 self.rcfg, instance_capacity=auto_cap)
             print(f"[raster] auto instance capacity: {auto_cap} "

@@ -260,3 +260,51 @@ def test_render_batch_override_opacity_matches_sequential():
                                       np.asarray(single.color))
         np.testing.assert_array_equal(np.asarray(batched.feature[i]),
                                       np.asarray(single.feature))
+
+
+def test_opacity_aware_rect_is_value_preserving():
+    """The opacity-aware binning rect (rasterize.RECT_OPACITY_AWARE) drops
+    only candidates with alpha < ALPHA_MIN everywhere in the dropped tiles
+    — outputs and gradients must match the reference's full 3-sigma AABB
+    binning to <=~1 ulp (chunk boundaries regroup the log-domain cumsums;
+    the contributing set itself is identical). n_contrib renumbers (it
+    counts list slots) and is deliberately not compared here."""
+    import importlib
+    rast_mod = importlib.import_module("feature3dgs_tpu.ops.rasterize")
+
+    cam = make_camera(width=64, height=48)
+    g = random_gaussians(n=400, f_dim=8, seed=5)
+    rng = np.random.RandomState(2)
+    ops = jnp.asarray(rng.uniform(0.02, 0.6, 400).astype(np.float32))
+    feat = jnp.asarray(np.random.RandomState(1).randn(400, 8).astype(np.float32))
+    cfg = RasterConfig(backend="xla", instance_capacity=1 << 13,
+                       tile_capacity=512)
+
+    def loss(op):
+        o = rasterize(g["means3d"], op, feat, cam, scales=g["scales"],
+                      rotations=g["rotations"], shs=g["shs"], sh_degree=2,
+                      config=cfg)
+        return (jnp.sum(o.color ** 2) + jnp.sum(o.feature ** 2)
+                + jnp.sum(o.depth ** 2) + jnp.sum(o.alpha ** 2)), o
+
+    results = {}
+    assert rast_mod.RECT_OPACITY_AWARE, "default must be on"
+    try:
+        for aware in (True, False):
+            rast_mod.RECT_OPACITY_AWARE = aware
+            (l, o), gr = jax.value_and_grad(loss, has_aux=True)(ops)
+            results[aware] = (float(l), np.asarray(gr), o)
+    finally:
+        rast_mod.RECT_OPACITY_AWARE = True
+
+    (l1, g1, o1), (l0, g0, o0) = results[True], results[False]
+    # the aware rect must actually drop candidates on this low-op scene
+    assert int(o1.total_instances) < int(o0.total_instances)
+    np.testing.assert_allclose(np.asarray(o1.color), np.asarray(o0.color),
+                               atol=5e-7)
+    np.testing.assert_allclose(np.asarray(o1.feature),
+                               np.asarray(o0.feature), atol=5e-7)
+    np.testing.assert_allclose(np.asarray(o1.alpha), np.asarray(o0.alpha),
+                               atol=5e-7)
+    np.testing.assert_allclose(g1, g0, atol=5e-6)
+    assert abs(l1 - l0) < 1e-3
