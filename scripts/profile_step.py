@@ -80,6 +80,7 @@ def main(argv=None):
     ap.add_argument("--tile_w", type=int, default=16)
     ap.add_argument("--tile_h", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--bwd_chunk", type=int, default=64)
     ap.add_argument("--save", type=str, default=None,
                     help="also copy the raw trace.json.gz here")
     ap.add_argument("--dump_hlo", type=str, default=None, metavar="DIR",
@@ -138,6 +139,7 @@ def main(argv=None):
     bg = jnp.zeros(3)
     rcfg = RasterConfig(instance_capacity=args.instance_capacity,
                         tile_capacity=1 << 11, chunk=args.chunk,
+                        bwd_chunk=args.bwd_chunk,
                         tiles_per_program=args.tpp,
                         tile_w=args.tile_w, tile_h=args.tile_h)
     ts = TrainState(params=params, gstate=state, adam=optim.init_adam(params),
