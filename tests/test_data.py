@@ -175,3 +175,36 @@ def test_world_to_view_matches_reference_math():
     # camera center maps to origin
     cc = transforms.camera_center_from_view(V)
     np.testing.assert_allclose((V @ np.append(cc, 1.0))[:3], 0.0, atol=1e-5)
+
+
+def test_old_cfg_args_keep_16x16_tiles(tmp_path):
+    """Back-compat: models trained before the 32x16 tile default saved
+    ``tile_size: 16`` in cfg_args; loading them must reconstruct the
+    16x16 grid they were trained with (render.py merges saved cfg_args
+    over parser defaults, arguments/__init__.py:97-117 parity)."""
+    import argparse
+    import json
+
+    from feature3dgs_tpu import config as C
+
+    model = tmp_path / "model"
+    model.mkdir()
+    # a pre-round-5 cfg_args: square tile flag, no tile_w/tile_h keys
+    (model / "cfg_args").write_text(json.dumps(
+        {"tile_size": 16, "chunk": 32, "instance_capacity": 1 << 19}))
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", "-m", type=str, default="")
+    C.add_raster_args(parser)
+    args = C.combine_with_saved(parser, ["-m", str(model)])
+    rcfg = C.extract_raster(args)
+    assert (rcfg.tile_w, rcfg.tile_h) == (16, 16)
+    assert rcfg.chunk == 32
+    assert rcfg.instance_capacity == 1 << 19
+
+    # a round-5 cfg_args records the rectangular default explicitly
+    (model / "cfg_args").write_text(json.dumps(
+        {"tile_size": None, "tile_w": 32, "tile_h": 16}))
+    args = C.combine_with_saved(parser, ["-m", str(model)])
+    rcfg = C.extract_raster(args)
+    assert (rcfg.tile_w, rcfg.tile_h) == (32, 16)
