@@ -444,3 +444,46 @@ def test_pallas_alpha_matmul_mode(f_dim):
         s = float(jnp.maximum(jnp.max(jnp.abs(b)), 1e-9))
         np.testing.assert_allclose(np.asarray(a) / s, np.asarray(b) / s,
                                    atol=1e-4, err_msg=f"grad {name}")
+
+
+def test_pick_tpp_divisor_and_vmem_budget():
+    """tiles_per_program selection: divisor of the tile count near the
+    request, capped by the ~9 MiB scoped-VMEM block budget (F=512 OOMs
+    above it), pad-and-slice fallback when no divisor exists."""
+    from feature3dgs_tpu.ops.pallas_raster import _pick_tpp
+
+    # 1216x800 at 32x16 -> 1900 tiles: 10 divides, F=128 budget allows it
+    assert _pick_tpp(1900, 8, 512, 128) == 10
+    # F=512 blocks are 4x wider: budget caps at 4 (which divides 1900)
+    assert _pick_tpp(1900, 8, 512, 512) == 4
+    # 16x16 reference grid: 3800 tiles, 8 divides
+    assert _pick_tpp(3800, 8, 256, 128) == 8
+    # tiny grids pick a nearby divisor
+    assert _pick_tpp(12, 8, 256, 128) == 6
+    # no divisor in range -> fall back to the request (pad-and-slice)
+    assert _pick_tpp(1, 8, 256, 128) == 8
+    for t in (1900, 3800, 12, 97):
+        d = _pick_tpp(t, 8, 512, 128)
+        assert d >= 1 and (t % d == 0 or d == 8)
+
+
+def test_rect_radius_opacity_bound():
+    """Opacity-aware rect radius: never exceeds the 3-sigma radius, is
+    exactly it for op >= ~0.35, shrinks for low opacity, and is
+    conservative (>= the analytic alpha>=1/255 support radius)."""
+    import numpy as np
+    from feature3dgs_tpu.ops.composite import ALPHA_MIN
+    from feature3dgs_tpu.ops.rasterize import rect_radius
+
+    radius = jnp.full((6,), 30.0)  # ceil(3*sigma) with sigma = 10
+    # note the ceil + 1px safety margin means the shrink only bites below
+    # op ~0.15 at this radius (op=0.2 -> ceil(28.04)+1 = 30 = unchanged)
+    op = jnp.asarray([1.0, 0.5, 0.36, 0.1, 0.05, 1.0 / 300.0])
+    r = np.asarray(rect_radius(radius, op))
+    assert (r <= np.asarray(radius)).all()
+    np.testing.assert_array_equal(r[:3], 30.0)     # high op: unchanged
+    assert r[3] < 30.0 and r[4] < r[3] and r[5] <= 2.0
+    # conservative vs the analytic support radius (sigma_max = 10)
+    analytic = 10.0 * np.sqrt(2.0 * np.maximum(
+        np.log(np.asarray(op) / ALPHA_MIN), 0.0))
+    assert (r + 1e-3 >= np.minimum(analytic, 30.0)).all()
